@@ -1,0 +1,86 @@
+"""Temporal snapshotting: as-of selection + snapshot assignment
+(SURVEY.md §2.5 W5 — the one genuinely temporal operator).
+
+Reference: WikipediaHistoryReader folds a page's revision stream into
+one *stable* version per time cut — the latest revision ≤ cut that
+either lived ≥ `min_days_stable_page_version` (10 days) or is older
+than `max_look_back` (30 days)
+(misc/wikipedia_history_reader.py:233-299,370-383;
+params s01_config_content.json:25-28).
+
+Spark shape: a single window over (key, snapshot) — `lead()` gives
+each revision its lifetime, `row_number()` picks the winner. One
+shuffle on the key; partition-prunable by snapshot afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["assign_snapshot", "asof_stable_version", "yearly_snapshots"]
+
+
+def yearly_snapshots(start_year: int = 2013, n: int = 10) -> list[str]:
+    """The reference's time_cut_list shape: Jan-1 yearly cuts
+    (s01_config_content.json:29-40)."""
+    return [f"{start_year + i}-01-01 00:00:00" for i in range(n)]
+
+
+def assign_snapshot(df: DataFrame, ts_col: str = "ts", snapshots: list[str] | None = None) -> DataFrame:
+    """Tag each row with the *next* cut ≥ ts (rows after the last cut
+    are dropped, mirroring the reference's per-cut filtering).
+
+    Implemented as a small values-join: snapshot list is tiny (10 in
+    the reference) → broadcast + min-aggregate, no UDF, prunable.
+    """
+    snaps = snapshots or yearly_snapshots()
+    sdf = df.sparkSession.createDataFrame([(s,) for s in snaps], "snapshot_ts string").select(
+        F.to_timestamp("snapshot_ts").alias("snapshot_ts")
+    )
+    j = df.join(F.broadcast(sdf), F.col(ts_col) <= F.col("snapshot_ts"), "inner")
+    keys = [c for c in df.columns]
+    return j.groupBy(*keys).agg(F.min("snapshot_ts").alias("snapshot_ts"))
+
+
+def asof_stable_version(
+    revisions: DataFrame,
+    key_cols: list[str],
+    rev_ts_col: str = "rev_ts",
+    snapshots: list[str] | None = None,
+    min_days_stable: int = 10,
+    max_look_back_days: int = 30,
+) -> DataFrame:
+    """One stable row per (key, snapshot): latest revision ≤ cut,
+    demoted to its predecessor when it is both younger than
+    ``max_look_back_days`` at the cut AND lived < ``min_days_stable``
+    before being superseded. Exactly the reference's stability rule,
+    as pure window arithmetic (no per-group Python).
+    """
+    snaps = snapshots or yearly_snapshots()
+    spark = revisions.sparkSession
+    sdf = spark.createDataFrame([(s,) for s in snaps], "cut string").select(
+        F.to_timestamp("cut").alias("snapshot_ts")
+    )
+
+    # lifetime of each revision = time until the next one (per key)
+    w_life = Window.partitionBy(*key_cols).orderBy(F.col(rev_ts_col))
+    with_life = revisions.withColumn("_next_ts", F.lead(rev_ts_col).over(w_life))
+
+    cand = with_life.join(F.broadcast(sdf), F.col(rev_ts_col) <= F.col("snapshot_ts"), "inner")
+
+    lived_secs = F.coalesce(
+        F.unix_timestamp("_next_ts") - F.unix_timestamp(rev_ts_col),
+        F.lit(10**12),  # newest revision: open-ended lifetime
+    )
+    age_at_cut = F.unix_timestamp("snapshot_ts") - F.unix_timestamp(rev_ts_col)
+    stable = (lived_secs >= min_days_stable * 86400) | (age_at_cut >= max_look_back_days * 86400)
+
+    w_pick = Window.partitionBy(*key_cols, "snapshot_ts").orderBy(F.col(rev_ts_col).desc())
+    return (
+        cand.withColumn("_stable", stable)
+        .filter(F.col("_stable"))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_stable", "_next_ts")
+    )

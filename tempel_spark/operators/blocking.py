@@ -1,0 +1,168 @@
+"""Blocking / candidate generation (SURVEY.md §7 Phase 2).
+
+Replaces the reference's two candidate-generation mechanisms:
+  * alias-table lookup by normalized mention surface
+    (s02_alias_table_generator.py:253-267 — exact-key blocking), and
+  * FAISS top-64 dense retrieval (nn_prediction.py:76 — similarity
+    blocking)
+with Spark-native blocking keys:
+
+  1. normalized-token keys (exact + first-token + sorted-token), and
+  2. MinHash-LSH band keys over character shingles.
+
+MinHash here is md5-lexicographic-min per seeded "permutation"
+(functions/hashing.py) — deliberately engine-portable so the
+signatures themselves are oracle-checkable in ANSI SQL. Spark ML's
+MinHashLSH would work too but its hash family is JVM-private, which
+would make correctness unverifiable against the DuckDB oracle.
+
+Skew (north_rule): Zipf-head mentions create hot blocks. Two levers:
+  * `salt_blocks` — append pmod(xxhash64(id), n) to the key where the
+    downstream op is aggregation-shaped (safe: per-key results merge).
+  * `cap_block_size` — deterministic hash-ordered top-N per block for
+    pair generation (mirrors the reference's max_mentions_per_entity
+    caps, s03_final_dataset_creator.py:491-501) so no block produces
+    O(n²) pairs unbounded. AQE skew-join splitting handles moderate
+    residual skew at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tempel_spark.functions.hashing import hash_bucket, md5_minhash_value
+from tempel_spark.functions.text import normalize_mention
+
+__all__ = [
+    "norm_key",
+    "first_token_key",
+    "sorted_token_key",
+    "char_shingles",
+    "minhash_signature",
+    "lsh_band_blocks",
+    "salt_blocks",
+    "cap_block_size",
+    "candidate_pairs",
+]
+
+
+def norm_key(col: Column | str) -> Column:
+    """Exact normalized-surface key — the alias-table blocking key."""
+    return normalize_mention(col)
+
+
+def first_token_key(col: Column | str) -> Column:
+    return F.split(normalize_mention(col), " ").getItem(0)
+
+
+def sorted_token_key(col: Column | str) -> Column:
+    """Order-insensitive token signature (catches token swaps)."""
+    return F.array_join(F.array_sort(F.array_distinct(F.split(normalize_mention(col), " "))), " ")
+
+
+def char_shingles(col: Column | str, k: int = 3) -> Column:
+    """array<string> of k-char shingles, fully native:
+    transform(sequence(1, len-k+1), i -> substr(text, i, k))."""
+    c = normalize_mention(col)
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+
+
+def minhash_signature(col: Column | str, n_hashes: int = 6, k: int = 3) -> Column:
+    """array<string> of length n_hashes: per seed, the lexicographic
+    min md5 over the shingle set (classic MinHash with md5-derived
+    permutations; J12's candidate-generation role in SURVEY.md).
+
+    NOTE: the per-seed lambda MUST be single-argument. A two-arg
+    lambda (e.g. the `lambda s, i=i:` closure idiom) is interpreted by
+    F.transform as its (element, index) form, silently binding the
+    loop seed to the element-index Column — the salt then embeds a
+    Column repr that changes per plan instantiation. Caught by the
+    determinism probe (two identical runs produced different
+    signatures).
+    """
+
+    def _hasher(seed: int):
+        return lambda s: md5_minhash_value(s, seed)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(char_shingles(col, k), _hasher(i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_blocks(
+    df: DataFrame,
+    text_col: str,
+    n_hashes: int = 6,
+    bands: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Explode each row into `bands` rows keyed by the band's slice of
+    the MinHash signature. Rows sharing any band key are candidates.
+    Output adds (band_id int, block_key string)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(text_col, n_hashes, k)
+    bandkeys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("block_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.withColumn("_bk", F.explode(bandkeys)).select("*", "_bk.band_id", "_bk.block_key").drop("_bk")
+
+
+def salt_blocks(df: DataFrame, key_col: str, id_col: str, n_salt: int = 8, hot_threshold: int = 10_000) -> DataFrame:
+    """Append a deterministic salt to keys whose block size exceeds
+    ``hot_threshold``. Adds (block_size long, salted_key string).
+    Aggregation-safe only — never use for pair generation."""
+    sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("block_size"))
+    out = df.join(F.broadcast(sizes.filter(F.col("block_size") > hot_threshold)), key_col, "left")
+    salt = hash_bucket(n_salt, id_col, seed=7)
+    return out.withColumn(
+        "salted_key",
+        F.when(F.col("block_size").isNotNull(), F.concat(F.col(key_col), F.lit("#"), salt.cast("string")))
+        .otherwise(F.col(key_col)),
+    ).withColumn("block_size", F.coalesce("block_size", F.lit(0)))
+
+
+def cap_block_size(df: DataFrame, key_cols: list[str], id_col: str, cap: int = 200) -> DataFrame:
+    """Deterministically keep ≤ cap rows per block (hash-ordered, so
+    retry-stable). Guarantees ≤ cap·(cap-1)/2 pairs per block."""
+    w = Window.partitionBy(*key_cols).orderBy(F.xxhash64(F.col(id_col), F.lit(13)), F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= cap).drop("_rn")
+
+
+def candidate_pairs(
+    blocked: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    cap: int = 200,
+) -> DataFrame:
+    """Within-block self-join → unordered candidate pairs
+    (id_a < id_b), deduped across blocks. The equi-join on the block
+    key is the only shuffle; AQE splits any residual skew.
+
+    Output: key_cols…, id_a, id_b, <payload>_a, <payload>_b.
+    """
+    capped = cap_block_size(blocked, key_cols, id_col, cap)
+    a = capped.select(
+        *key_cols,
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+    )
+    b = capped.select(
+        *key_cols,
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    pairs = a.join(b, key_cols, "inner").filter(F.col("id_a") < F.col("id_b"))
+    # a pair found by several blocks (e.g. two LSH bands) appears once
+    return pairs.dropDuplicates(["id_a", "id_b"])

@@ -1,0 +1,127 @@
+"""Transitive clustering: connected components on the match-edge list
+(SURVEY.md §7 Phase 4; north_rule "large-star/small-star").
+
+Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond" — public literature,
+also summarized in PAPERS.md). Each round:
+
+  large-star: every node u links each strictly-greater neighbor v to
+              m(u) = min(Γ(u) ∪ {u})
+  small-star: orient edges to (hi → lo); every node u links each
+              ≤-neighbor and itself to m(u)
+
+Converges in O(log n) rounds to a star forest: every node points at
+its component minimum. Per-node minima are window mins — no
+collect_list, so a Zipf-head star node never materializes its
+neighborhood in memory.
+
+Driver-side loop with per-iteration `localCheckpoint` (lineage
+truncation — without it the plan doubles each round) and an optional
+durable checkpoint via the catalog for mid-run resume (north_rule
+resumability). Convergence test = (count, xor-ish hash-sum) pair of
+the edge set: one tiny aggregate per round, no full comparison join.
+
+This generalizes the reference's greedy must-link subset clustering
+(s03_final_dataset_creator_utils.py:611-665), which is a sequential
+single-node transitive closure over the same kind of similarity edges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "CCResult"]
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    nbrs = _sym(e)
+    w = Window.partitionBy("a")
+    m = F.least(F.min("b").over(w), F.col("a"))
+    return (
+        nbrs.withColumn("m", m)
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    o = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+    w = Window.partitionBy("a")
+    withm = o.withColumn("m", F.least(F.min("b").over(w), F.col("a")))
+    to_nbrs = withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
+    to_self = withm.select("a", F.col("m").alias("b")).distinct()
+    return to_nbrs.unionByName(to_self).filter(F.col("a") != F.col("b")).distinct()
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+@dataclass
+class CCResult:
+    components: DataFrame  # (node string/long, component same-type)
+    iterations: int
+    converged: bool
+    history: list[dict] = field(default_factory=list)
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+    checkpoint_every: int = 1,
+    durable_checkpoint=None,
+) -> CCResult:
+    """edges: undirected pair list. nodes: optional full node universe
+    (id column named like ``id_a``) so singletons get their own
+    component. durable_checkpoint: optional fn(df, iteration) -> df
+    that persists and re-reads (catalog-backed) for resumability.
+    """
+    e = (
+        edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    prev_sig = _signature(e)
+    history: list[dict] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        e = _small_star(_large_star(e))
+        if it % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=True)
+        if durable_checkpoint is not None:
+            e = durable_checkpoint(e, it)
+        sig = _signature(e)
+        history.append({"iteration": it, "edges": sig[0], "hash": sig[1]})
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+
+    # star forest → labels; representatives + singletons point at themselves
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    reps = e.select(F.col("b").alias("node")).distinct().withColumn("component", F.col("node"))
+    comp = labels.unionByName(reps).groupBy("node").agg(F.min("component").alias("component"))
+    if nodes is not None:
+        allnodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+        comp = (
+            allnodes.join(comp, "node", "left")
+            .select("node", F.coalesce("component", F.col("node")).alias("component"))
+        )
+    return CCResult(components=comp, iterations=it, converged=converged, history=history)

@@ -1,0 +1,98 @@
+"""Evaluation metrics (SURVEY.md §7 Phase 5).
+
+* pairwise_f1 — BASELINE.json's headline correctness metric
+  (pairwise F1 ≥ 0.99 vs reference clusters per snapshot), computed
+  from the contingency table with n-choose-2 arithmetic: never
+  materializes pairs, so it runs at any scale.
+* acc_at_k — the reference's retrieval metric
+  (misc_utils.py:198-242 `Stats`; acc@k for k ∈ {1,2,4,…,64}),
+  re-expressed as one groupBy over a ranked-candidates table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pairwise_f1", "acc_at_k", "DEFAULT_KS"]
+
+DEFAULT_KS = [1, 2, 4, 8, 16, 32, 64]
+
+
+def _n_choose_2(c) -> F.Column:
+    return (c * (c - F.lit(1)) / F.lit(2)).cast("double")
+
+
+def pairwise_f1(
+    pred: DataFrame,
+    gold: DataFrame,
+    node_col: str = "node",
+    pred_col: str = "component",
+    gold_col: str = "gold_entity_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """pred: (node, component [, group…]); gold: (node, gold label).
+    Returns one row per group with tp/pred_pairs/gold_pairs/precision/
+    recall/f1. Same-cluster pairs counted via Σ C(n,2) over the
+    contingency table — O(clusters), not O(pairs)."""
+    groups = group_cols or []
+    j = pred.join(gold.select(node_col, gold_col, *[c for c in groups if c in gold.columns and c not in pred.columns]), node_col)
+
+    cont = j.groupBy(*groups, pred_col, gold_col).agg(F.count(F.lit(1)).alias("n"))
+    tp = cont.groupBy(*groups).agg(F.sum(_n_choose_2(F.col("n"))).alias("tp"))
+
+    ppairs = (
+        j.groupBy(*groups, pred_col).agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(*groups).agg(F.sum(_n_choose_2(F.col("n"))).alias("pred_pairs"))
+    )
+    gpairs = (
+        j.groupBy(*groups, gold_col).agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(*groups).agg(F.sum(_n_choose_2(F.col("n"))).alias("gold_pairs"))
+    )
+    if groups:
+        base = tp.join(ppairs, groups).join(gpairs, groups)
+    else:
+        base = tp.crossJoin(ppairs).crossJoin(gpairs)
+    return base.select(
+        *groups,
+        "tp",
+        "pred_pairs",
+        "gold_pairs",
+        F.when(F.col("pred_pairs") > 0, F.col("tp") / F.col("pred_pairs")).otherwise(F.lit(1.0)).alias("precision"),
+        F.when(F.col("gold_pairs") > 0, F.col("tp") / F.col("gold_pairs")).otherwise(F.lit(1.0)).alias("recall"),
+    ).withColumn(
+        "f1",
+        F.when(
+            (F.col("precision") + F.col("recall")) > 0,
+            2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def acc_at_k(
+    candidates: DataFrame,
+    query_col: str = "mention_id",
+    score_col: str = "score",
+    correct_col: str = "correct",
+    group_cols: list[str] | None = None,
+    ks: list[int] | None = None,
+) -> DataFrame:
+    """candidates: one row per (query, candidate) with a score and a
+    correctness flag. Ranks per query by score desc (ties broken by
+    the correct flag *last*, matching the reference's re-sort at eval,
+    s07_calculate_results_and_metrics_blink.py:220-227), then
+    micro-averages hit@k per group (misc_utils.py:209-242)."""
+    groups = group_cols or []
+    ks = ks or DEFAULT_KS
+    w = Window.partitionBy(*groups, query_col).orderBy(F.col(score_col).desc(), F.col(correct_col).asc())
+    ranked = candidates.withColumn("rank", F.row_number().over(w))
+    per_query = ranked.groupBy(*groups, query_col).agg(
+        F.min(F.when(F.col(correct_col), F.col("rank"))).alias("gold_rank")
+    )
+    return per_query.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        *[
+            F.avg((F.col("gold_rank") <= k).cast("int")).alias(f"acc_at_{k}")
+            for k in ks
+        ],
+    )

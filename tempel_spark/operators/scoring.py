@@ -1,0 +1,124 @@
+"""Pairwise scoring (SURVEY.md §7 Phase 3).
+
+Scores candidate pairs with the feature family the north_rule names:
+Jaro-Winkler (pandas UDF) + token-set Levenshtein ratio (native
+`F.levenshtein`, reference formula misc/utils.py:22-26) + token
+Jaccard + optional cached-embedding cosine (native zip_with dot,
+reference biencoder.py:105-123).
+
+The must-link rule reproduces the reference's subset-clustering
+must-link: ratio_edit_distance < 0.2 OR whole-token containment
+(s03_final_dataset_creator_utils.py:611-665, threshold
+s03_dataset_creator.json:44-46).
+
+Everything except Jaro-Winkler is whole-stage-codegen; the UDF is
+Arrow-batched (no per-row Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tempel_spark.functions.similarity import (
+    cosine_sim,
+    jaro_winkler_udf,
+    levenshtein_ratio,
+    token_jaccard,
+)
+from tempel_spark.functions.text import normalize_mention
+
+__all__ = ["score_pairs", "abbreviation_edges", "MUST_LINK_RATIO"]
+
+MUST_LINK_RATIO = 0.2  # reference s03_dataset_creator.json:44
+
+
+def score_pairs(
+    pairs: DataFrame,
+    text_a: str = "surface_a",
+    text_b: str = "surface_b",
+    emb_a: str | None = None,
+    emb_b: str | None = None,
+    threshold: float = 0.75,
+) -> DataFrame:
+    """Add feature + score columns to a candidate-pair DataFrame and an
+    `is_match` decision.
+
+    score = 0.45·JW + 0.30·(1−lev_ratio) + 0.25·jaccard
+            (re-weighted to 0.35/0.25/0.20/0.20·cosine when
+             embeddings are present)
+    is_match = must_link OR score ≥ threshold
+    """
+    # Features computed on normalized surfaces (lower/underscore/space
+    # collapse — the reference normalizes mentions the same way before
+    # its alias-table stats, s02:253-254) so case/underscore drift
+    # never splits a cluster.
+    na, nb = normalize_mention(text_a), normalize_mention(text_b)
+    lev = levenshtein_ratio(na, nb)
+    jac = token_jaccard(na, nb)
+    jw = jaro_winkler_udf(na, nb)
+
+    out = (
+        pairs.withColumn("ratio_edit_distance", lev)
+        .withColumn("jaccard", jac)
+        .withColumn("jaro_winkler", jw)
+    )
+    if emb_a and emb_b:
+        out = out.withColumn("cosine", cosine_sim(emb_a, emb_b))
+        score = (
+            0.35 * F.col("jaro_winkler")
+            + 0.25 * (1.0 - F.col("ratio_edit_distance"))
+            + 0.20 * F.col("jaccard")
+            + 0.20 * F.col("cosine")
+        )
+    else:
+        score = (
+            0.45 * F.col("jaro_winkler")
+            + 0.30 * (1.0 - F.col("ratio_edit_distance"))
+            + 0.25 * F.col("jaccard")
+        )
+
+    ta, tb = F.split(na, " "), F.split(nb, " ")
+    subset = (F.size(F.array_except(ta, tb)) == 0) | (F.size(F.array_except(tb, ta)) == 0)
+    n_small = F.least(F.size(ta), F.size(tb))
+
+    # multi-token subset ("yonder onyx" ⊂ "yonder onyx alpha") is
+    # unambiguous → must-link; a single shared token ("falcon") is the
+    # ambiguous-abbreviation case the reference resolves by prior rank
+    # (alias table, s02:434-440) — flagged here, resolved to its top-1
+    # candidate by abbreviation_edges().
+    return (
+        out.withColumn("score", score.cast("double"))
+        .withColumn(
+            "must_link",
+            (F.col("ratio_edit_distance") < MUST_LINK_RATIO) | (subset & (n_small >= 2)),
+        )
+        .withColumn("is_abbrev", subset & (n_small == 1) & (F.col("ratio_edit_distance") >= MUST_LINK_RATIO))
+        .withColumn("is_match", F.col("must_link") | (F.col("score") >= threshold))
+    )
+
+
+def abbreviation_edges(
+    scored: DataFrame,
+    group_cols: list[str] | None = None,
+    text_a: str = "surface_a",
+    text_b: str = "surface_b",
+) -> DataFrame:
+    """Resolve single-token abbreviation pairs: each abbreviation
+    mention links to exactly its best-scoring full-form candidate
+    (rank-1 by score, deterministic tie-break) — the Spark analogue of
+    the reference's mention→entity resolution by prior_rank = 1
+    (s02_alias_table_generator.py:434-440). Returns (id_a, id_b)
+    edges to union into the clustering edge list."""
+    groups = group_cols or ["snapshot_ts"]
+    na, nb = normalize_mention(text_a), normalize_mention(text_b)
+    cand = scored.filter(F.col("is_abbrev") & ~F.col("is_match")).withColumn(
+        "_src",
+        F.when(F.size(F.split(na, " ")) <= F.size(F.split(nb, " ")), F.col("id_a")).otherwise(F.col("id_b")),
+    )
+    w = Window.partitionBy(*groups, "_src").orderBy(F.col("score").desc(), F.col("id_a"), F.col("id_b"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*groups, "id_a", "id_b")
+    )

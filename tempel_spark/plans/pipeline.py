@@ -1,0 +1,162 @@
+"""End-to-end ER pipeline over transcripts (the north_star flow):
+
+  transcripts ──assign_snapshot──▶ snapshotted turns
+      │  (per-turn text equality invariant: pass-through, stable
+      │   (conv_id, turn_idx) ordering — BASELINE.json input_hint)
+      ▼
+  mention extraction (Arrow mapInPandas, F1)
+      ▼
+  blocking keys: normalized surface + MinHash-LSH bands   (Phase 2)
+      ▼
+  candidate pairs (within (snapshot_ts, block_key), capped, AQE-skew)
+      ▼
+  pairwise scoring (JW + levenshtein ratio + jaccard)     (Phase 3)
+      ▼
+  match edges → large-star/small-star connected components (Phase 4)
+      ▼
+  temporal entity clusters per snapshot + pairwise-F1 metrics
+
+Every stage publishes to the checkpoint catalog and the whole run is
+resumable mid-pipeline (`force=False` skips published stages) — the
+reference's pickle-cache pattern (s02:139-142) upgraded to
+partitioned tables with lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tempel_spark.functions.mentions import extract_mentions_pandas
+from tempel_spark.operators.asof import assign_snapshot, yearly_snapshots
+from tempel_spark.operators.blocking import (
+    candidate_pairs,
+    first_token_key,
+    lsh_band_blocks,
+    norm_key,
+)
+from tempel_spark.operators.clustering import connected_components
+from tempel_spark.operators.metrics import pairwise_f1
+from tempel_spark.operators.scoring import abbreviation_edges, score_pairs
+from tempel_spark.sources.catalog import Catalog
+
+__all__ = ["run_pipeline", "extract_mention_table"]
+
+
+def extract_mention_table(transcripts: DataFrame, snapshots: list[str] | None = None) -> DataFrame:
+    """transcripts (input_hint schema) → mention rows with stable ids.
+
+    mention_id = conv_id:turn_idx:span_start — deterministic, so every
+    downstream stage (and resume) sees identical ids.
+    """
+    snapped = assign_snapshot(transcripts, "ts", snapshots)
+    mentions = extract_mentions_pandas(snapped)
+    return mentions.withColumn(
+        "mention_id",
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"), F.col("span_start").cast("string")),
+    ).withColumn("surface", F.col("mention_text"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog: Catalog | None = None,
+    snapshots: list[str] | None = None,
+    gold: DataFrame | None = None,
+    threshold: float = 0.75,
+    pair_cap: int = 200,
+    lsh_hashes: int = 6,
+    lsh_bands: int = 3,
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full flow. Returns the stage DataFrames.
+
+    gold: optional (mention_id, gold_entity_id) for evaluation —
+    in tests it comes from the synthesizer's hidden labels; in the
+    TempEL-parity check it is the labeled anchor→entity pairs.
+    """
+    snaps = snapshots or yearly_snapshots(2013, 4)
+
+    def ck(name: str, compute, partition_by=("snapshot_ts",)) -> DataFrame:
+        if catalog is None:
+            return compute()
+        return catalog.read_or_compute(name, compute, partition_by, force=force)
+
+    mentions = ck("mentions", lambda: extract_mention_table(transcripts, snaps))
+
+    def _blocks() -> DataFrame:
+        m = mentions.withColumn("nkey", norm_key("surface"))
+        exact = m.select(
+            "snapshot_ts", "mention_id", "surface",
+            F.concat(F.lit("N:"), F.col("nkey")).alias("block_key"),
+        )
+        # first-token key links abbreviated surfaces ("Falcon" ↔
+        # "Falcon Krypton Prairie") — the Zipf-hot key that cap/salt
+        # logic exists for.
+        first = m.select(
+            "snapshot_ts", "mention_id", "surface",
+            F.concat(F.lit("F:"), first_token_key("surface")).alias("block_key"),
+        )
+        lsh = lsh_band_blocks(m, "surface", n_hashes=lsh_hashes, bands=lsh_bands).select(
+            "snapshot_ts", "mention_id", "surface",
+            F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
+        )
+        return exact.unionByName(first).unionByName(lsh)
+
+    blocks = ck("blocks", _blocks)
+
+    pairs = ck(
+        "pairs",
+        lambda: candidate_pairs(
+            blocks, ["snapshot_ts", "block_key"], "mention_id", ["surface"], cap=pair_cap
+        ),
+    )
+
+    scored = ck("scored", lambda: score_pairs(pairs, "surface_a", "surface_b", threshold=threshold))
+
+    edges = scored.filter(F.col("is_match")).select("snapshot_ts", "id_a", "id_b").unionByName(
+        abbreviation_edges(scored)
+    )
+
+    def _components() -> DataFrame:
+        # snapshot-scoped node ids keep one global CC run from ever
+        # merging clusters across snapshots (ids never collide).
+        e = edges.select(
+            F.concat_ws("@", F.col("snapshot_ts").cast("string"), "id_a").alias("id_a"),
+            F.concat_ws("@", F.col("snapshot_ts").cast("string"), "id_b").alias("id_b"),
+        )
+        nodes = mentions.select(
+            F.concat_ws("@", F.col("snapshot_ts").cast("string"), "mention_id").alias("node")
+        )
+        res = connected_components(e, nodes=nodes)
+        if catalog is not None:
+            catalog.log_metrics(
+                "clustering",
+                {"iterations": res.iterations, "converged": res.converged, "history": res.history},
+            )
+        return res.components.select(
+            F.split_part("node", F.lit("@"), F.lit(1)).cast("timestamp").alias("snapshot_ts"),
+            F.split_part("node", F.lit("@"), F.lit(2)).alias("mention_id"),
+            F.split_part("component", F.lit("@"), F.lit(2)).alias("component"),
+        )
+
+    components = ck("components", _components)
+
+    out = {
+        "mentions": mentions,
+        "blocks": blocks,
+        "pairs": pairs,
+        "scored": scored,
+        "components": components,
+    }
+
+    if gold is not None:
+        f1 = pairwise_f1(
+            components.withColumnRenamed("mention_id", "node"),
+            gold.withColumnRenamed("mention_id", "node"),
+            group_cols=["snapshot_ts"],
+        )
+        out["metrics"] = f1
+        if catalog is not None:
+            catalog.write(f1, "metrics_pairwise_f1", ("snapshot_ts",))
+    return out

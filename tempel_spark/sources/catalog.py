@@ -1,0 +1,114 @@
+"""Stage checkpoint catalog (SURVEY.md §2.1 S5/S6, §4 resumability).
+
+The reference memoizes stage outputs as pickle files and per-cut CSVs
+(load_wiki_sql_tables.py:18-21, s02_alias_table_generator.py:139-142);
+the north_rule upgrades this to Iceberg checkpoint tables with
+per-partition lineage. In this sandbox no Iceberg runtime jar is
+available (no network), so the catalog speaks the same API over
+partitioned parquet and transparently switches to real Iceberg
+(`df.writeTo(...).createOrReplace()`) when an Iceberg catalog is
+configured on the session. The write layout (snapshot_ts partition
+column, overwrite-by-name semantics, atomic-rename publish) matches
+what the Iceberg path produces, so pipeline code is identical in both
+modes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["Catalog"]
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        impl = spark.conf.get("spark.sql.catalog.spark_catalog", "")
+        return "iceberg" in (impl or "").lower()
+    except Exception:
+        return False
+
+
+class Catalog:
+    """Named, partitioned, atomically-published stage tables +
+    a lineage/metrics journal (north_rule: "resumable from checkpoint
+    with per-partition lineage + metrics")."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base = base_path.rstrip("/")
+        os.makedirs(self.base, exist_ok=True)
+        self.use_iceberg = _iceberg_available(spark)
+
+    # -- paths ---------------------------------------------------------
+    def path(self, name: str) -> str:
+        return f"{self.base}/{name}"
+
+    def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(f"ckpt_{name}")
+        return os.path.exists(f"{self.path(name)}/_SUCCESS_TEMPEL")
+
+    # -- write / read ----------------------------------------------------
+    def write(self, df: DataFrame, name: str, partition_by: tuple[str, ...] = ()) -> DataFrame:
+        """Overwrite-publish a stage table; returns the re-read
+        DataFrame (reading back the checkpoint truncates lineage the
+        same way the reference's pickle reload does, but distributed)."""
+        t0 = time.time()
+        if self.use_iceberg:
+            w = df.writeTo(f"ckpt_{name}").using("iceberg")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            out = self.spark.table(f"ckpt_{name}")
+        else:
+            final = self.path(name)
+            tmp = f"{final}.__tmp_{uuid.uuid4().hex[:8]}"
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(tmp)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            with open(f"{final}/_SUCCESS_TEMPEL", "w") as fh:
+                fh.write("ok")
+            out = self.spark.read.parquet(final)
+        self._journal(name, df_schema=[f.simpleString() for f in df.schema.fields],
+                      seconds=round(time.time() - t0, 3), partition_by=list(partition_by))
+        return out
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.table(f"ckpt_{name}")
+        return self.spark.read.parquet(self.path(name))
+
+    def read_or_compute(self, name: str, compute, partition_by: tuple[str, ...] = (), force: bool = False) -> DataFrame:
+        """Resume-from-checkpoint: the idempotent-stage pattern. A
+        rerun after failure skips every published stage."""
+        if not force and self.exists(name):
+            return self.read(name)
+        return self.write(compute(), name, partition_by)
+
+    # -- lineage / metrics journal ----------------------------------------
+    def _journal(self, name: str, **kv) -> None:
+        rec = {"table": name, "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **kv}
+        with open(f"{self.base}/_lineage.jsonl", "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+    def log_metrics(self, stage: str, metrics: dict) -> None:
+        self._journal(f"metrics::{stage}", **metrics)
+
+    def partition_lineage(self, name: str, partition_col: str = "snapshot_ts") -> DataFrame:
+        """Per-partition row counts of a published stage — the
+        lineage/metrics table the north_rule requires."""
+        df = self.read(name)
+        return df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows")).withColumn(
+            "table", F.lit(name)
+        )
