@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the
+end-to-end transcripts ER pipeline on a deterministic synthetic corpus
+(~1M turns at sf 0.1, FIXTURES.md §4), and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`--scaling` mode: re-runs the ER pipeline in two subprocesses at
+local[N] and local[4N] (sandbox stand-in for N vs 4N executors,
+BASELINE.md) and reports throughput + scaling efficiency.
+`--pipeline-only N_CPUS` is the internal child mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_nation_revenue",
+    "q_alias_table",
+    "q_er_components",
+    "q_minhash_signature",
+    "q_cosine_topk",
+    "q_asof_stable",
+    "q_dedup_exact",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(d.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:  # noqa: BLE001
+        return 0.1
+
+
+def run_pipeline_bench(spark, sf: float) -> dict:
+    """Transcripts ER pipeline at a corpus size proportional to sf
+    (sf 0.1 → ~125k convs ≈ 1M turns). Returns timing + pair counts."""
+    from pyspark.sql import functions as F
+
+    from tempel_spark.plans.pipeline import run_pipeline
+    from tempel_spark.synth import synth_transcripts
+
+    n_convs = max(200, int(1_250_000 * sf))
+    snaps = [f"{y}-01-01 00:00:00" for y in (2013, 2014, 2015, 2016)]
+    trans = synth_transcripts(spark, n_convs=n_convs, n_entities=max(64, n_convs // 250), n_snapshots=3)
+
+    t0 = time.time()
+    res = run_pipeline(spark, trans, snapshots=snaps, pair_cap=150)
+    n_pairs = res["scored"].count()
+    t_score = time.time() - t0
+    n_comp = res["components"].select(F.countDistinct("component")).collect()[0][0]
+    t_total = time.time() - t0
+    return {
+        "n_convs": n_convs,
+        "n_pairs_scored": n_pairs,
+        "pairs_scored_per_sec": round(n_pairs / max(t_score, 1e-9), 1),
+        "sec_to_scored": round(t_score, 3),
+        "sec_total": round(t_total, 3),
+        "n_components": n_comp,
+    }
+
+
+def main() -> None:
+    from tempel_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+
+    if "--pipeline-only" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--pipeline-only") + 1])
+        spark = get_spark(f"bench_pipe_{cpus}", cpus=cpus)
+        out = run_pipeline_bench(spark, sf)
+        out["cpus"] = cpus
+        print("PIPELINE_RESULT " + json.dumps(out))
+        return
+
+    if "--scaling" in sys.argv:
+        results = {}
+        lo, hi = max(1, CPUS // 4), CPUS
+        for n in (lo, hi):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline-only", str(n)],
+                capture_output=True, text=True, env=os.environ, check=False,
+            )
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("PIPELINE_RESULT ")]
+            results[n] = json.loads(line[0].split(" ", 1)[1]) if line else {"error": p.stderr[-500:]}
+        eff = None
+        if "error" not in results[lo] and "error" not in results[hi]:
+            speedup = results[hi]["pairs_scored_per_sec"] / max(results[lo]["pairs_scored_per_sec"], 1e-9)
+            eff = round(speedup / (hi / lo), 4)
+        print(json.dumps({"scaling": results, "cpus": [lo, hi], "efficiency": eff, "sf": sf}))
+        return
+
+    spark = get_spark("bench", cpus=CPUS)
+    from tempel_spark.plans.testdata_queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time(), 3) - round(t0, 3)
+        timings[name] = round(time.time() - t0, 3)
+
+    pipe = run_pipeline_bench(spark, sf)
+    timings["er_pipeline_transcripts"] = pipe["sec_total"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_er_pipeline_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline": pipe,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -58,8 +58,9 @@ def overlap_type(mention: Column | str, title: Column | str) -> Column:
     norm = lambda c: F.trim(F.regexp_replace(F.lower(F.translate(c, "_", " ")), " +", " "))  # noqa: E731
     mn, tn = norm(m), norm(t)
     t_nodab = F.trim(F.regexp_replace(tn, r"\s*\(.*?\)\s*$", ""))
-    contained = tn.rlike(
-        F.concat(F.lit("(^| )"), F.regexp_replace(mn, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1"), F.lit("( |,|$)"))
+    contained = F.regexp_like(
+        tn,
+        F.concat(F.lit("(^| )"), F.regexp_replace(mn, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1"), F.lit("( |,|$)")),
     )
     return (
         F.when(mn == tn, F.lit("HIGH_OVERLAP"))
@@ -70,11 +71,11 @@ def overlap_type(mention: Column | str, title: Column | str) -> Column:
 
 
 def _jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
     l1, l2 = len(s1), len(s2)
     if not l1 or not l2:
-        return 0.0
+        return 0.0  # empty → 0 even for ("",""), matching the common SQL convention
+    if s1 == s2:
+        return 1.0
     match_dist = max(l1, l2) // 2 - 1
     f1 = [False] * l1
     f2 = [False] * l2

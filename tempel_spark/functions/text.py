@@ -60,7 +60,7 @@ def whole_word_contains(needle: Column | str, hay: Column | str) -> Column:
     h = F.col(hay) if isinstance(hay, str) else hay
     # regex-quote the needle, then anchor on word-ish boundaries
     quoted = F.regexp_replace(n, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1")
-    return h.rlike(F.concat(F.lit("(^| )"), quoted, F.lit("( |,|$)")))
+    return F.regexp_like(h, F.concat(F.lit("(^| )"), quoted, F.lit("( |,|$)")))
 
 
 def detect_redirect(col: Column | str) -> Column:

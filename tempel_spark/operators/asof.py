@@ -50,6 +50,7 @@ def asof_stable_version(
     snapshots: list[str] | None = None,
     min_days_stable: int = 10,
     max_look_back_days: int = 30,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """One stable row per (key, snapshot): latest revision ≤ cut,
     demoted to its predecessor when it is both younger than
@@ -63,23 +64,35 @@ def asof_stable_version(
         F.to_timestamp("cut").alias("snapshot_ts")
     )
 
+    # deterministic ordering even under ts ties (retry-stability)
+    tb = tiebreak_cols or []
+
     # lifetime of each revision = time until the next one (per key)
-    w_life = Window.partitionBy(*key_cols).orderBy(F.col(rev_ts_col))
+    w_life = Window.partitionBy(*key_cols).orderBy(F.col(rev_ts_col), *[F.col(c) for c in tb])
     with_life = revisions.withColumn("_next_ts", F.lead(rev_ts_col).over(w_life))
 
     cand = with_life.join(F.broadcast(sdf), F.col(rev_ts_col) <= F.col("snapshot_ts"), "inner")
 
-    lived_secs = F.coalesce(
-        F.unix_timestamp("_next_ts") - F.unix_timestamp(rev_ts_col),
-        F.lit(10**12),  # newest revision: open-ended lifetime
-    )
+    # Reference rule (wikipedia_history_reader.py:262-299): a revision
+    # is "secured" for a cut iff a SUCCESSOR proves it lived
+    # ≥ min_days_stable (the successor may postdate the cut — lifetime
+    # comes from full history), OR it is already ≥ max_look_back old at
+    # the cut. An un-superseded young revision is NOT stable. When no
+    # revision is secured, the FIRST revision ≤ cut is kept
+    # unconditionally ("IF it is the first one, puts it anyway").
+    lived_secs = F.unix_timestamp("_next_ts") - F.unix_timestamp(rev_ts_col)  # null for newest
     age_at_cut = F.unix_timestamp("snapshot_ts") - F.unix_timestamp(rev_ts_col)
     stable = (lived_secs >= min_days_stable * 86400) | (age_at_cut >= max_look_back_days * 86400)
 
-    w_pick = Window.partitionBy(*key_cols, "snapshot_ts").orderBy(F.col(rev_ts_col).desc())
+    # one window: stable rows first (latest wins), else earliest row —
+    # encoded as a single sort key so it stays one shuffle.
+    u = F.unix_timestamp(F.col(rev_ts_col))
+    pick_key = F.when(F.col("_stable"), u).otherwise(-u)
+    w_pick = Window.partitionBy(*key_cols, "snapshot_ts").orderBy(
+        F.col("_stable").desc(), pick_key.desc(), *[F.col(c).desc() for c in tb]
+    )
     return (
-        cand.withColumn("_stable", stable)
-        .filter(F.col("_stable"))
+        cand.withColumn("_stable", F.coalesce(stable, F.lit(False)))
         .withColumn("_rn", F.row_number().over(w_pick))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_stable", "_next_ts")

@@ -145,13 +145,20 @@ def candidate_pairs(
     id_col: str,
     payload_cols: list[str],
     cap: int = 200,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Within-block self-join → unordered candidate pairs
     (id_a < id_b), deduped across blocks. The equi-join on the block
     key is the only shuffle; AQE splits any residual skew.
 
+    group_cols: the subset of key_cols that scope pair identity
+    (e.g. snapshot_ts). Dedup runs per group — NOT globally — so the
+    same id pair occurring in two snapshots survives in both. Defaults
+    to every key col except the last (conventionally the block key).
+
     Output: key_cols…, id_a, id_b, <payload>_a, <payload>_b.
     """
+    groups = key_cols[:-1] if group_cols is None else group_cols
     capped = cap_block_size(blocked, key_cols, id_col, cap)
     a = capped.select(
         *key_cols,
@@ -164,5 +171,5 @@ def candidate_pairs(
         *[F.col(c).alias(f"{c}_b") for c in payload_cols],
     )
     pairs = a.join(b, key_cols, "inner").filter(F.col("id_a") < F.col("id_b"))
-    # a pair found by several blocks (e.g. two LSH bands) appears once
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    # a pair found by several blocks (e.g. two LSH bands) appears once per group
+    return pairs.dropDuplicates([*groups, "id_a", "id_b"])

@@ -92,7 +92,11 @@ def acc_at_k(
     return per_query.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n_queries"),
         *[
-            F.avg((F.col("gold_rank") <= k).cast("int")).alias(f"acc_at_{k}")
+            # when/otherwise, not a bare cast: a query whose gold never
+            # appears has NULL gold_rank and must count as a miss, not
+            # be silently dropped from the average (misc_utils.py:209
+            # counts every query in `cnt`).
+            F.avg(F.when(F.col("gold_rank") <= k, 1).otherwise(0)).alias(f"acc_at_{k}")
             for k in ks
         ],
     )

@@ -6,13 +6,25 @@
       ▼
   mention extraction (Arrow mapInPandas, F1)
       ▼
-  blocking keys: normalized surface + MinHash-LSH bands   (Phase 2)
+  DISTINCT SURFACES per snapshot  ← the scale pivot: all pairwise
+      │   work runs on the deduplicated surface vocabulary (grows
+      │   ~log-like with corpus size), never on mention occurrences
+      │   (grows linearly to 10^12). Identical surfaces are must-links
+      │   by definition (edit ratio 0 < 0.2), so clustering surfaces
+      │   and broadcasting the assignment back to occurrences is
+      │   semantically identical to occurrence-level clustering —
+      │   and turns an O(occurrences²) candidate space into
+      │   O(vocabulary²-within-blocks).
       ▼
-  candidate pairs (within (snapshot_ts, block_key), capped, AQE-skew)
+  blocking keys: normalized surface + first-token + MinHash-LSH bands
+      ▼
+  candidate surface pairs (within (snapshot_ts, block_key), capped)
       ▼
   pairwise scoring (JW + levenshtein ratio + jaccard)     (Phase 3)
       ▼
   match edges → large-star/small-star connected components (Phase 4)
+      ▼
+  mention→cluster assignment (one hash join on (snapshot, surface))
       ▼
   temporal entity clusters per snapshot + pairwise-F1 metrics
 
@@ -41,6 +53,10 @@ from tempel_spark.operators.scoring import abbreviation_edges, score_pairs
 from tempel_spark.sources.catalog import Catalog
 
 __all__ = ["run_pipeline", "extract_mention_table"]
+
+# node-id separator for snapshot-scoped CC nodes; \x1f (ASCII unit
+# separator) cannot appear in extracted surfaces
+_SEP = "\x1f"
 
 
 def extract_mention_table(transcripts: DataFrame, snapshots: list[str] | None = None) -> DataFrame:
@@ -77,28 +93,36 @@ def run_pipeline(
     """
     snaps = snapshots or yearly_snapshots(2013, 4)
 
-    def ck(name: str, compute, partition_by=("snapshot_ts",)) -> DataFrame:
+    def ck(name: str, compute, partition_by=("snapshot_ts",), cache=False) -> DataFrame:
         if catalog is None:
-            return compute()
+            df = compute()
+            # no durable checkpoint → persist hot intermediates so the
+            # multi-consumer stages don't recompute the whole upstream DAG
+            return df.persist() if cache else df
         return catalog.read_or_compute(name, compute, partition_by, force=force)
 
-    mentions = ck("mentions", lambda: extract_mention_table(transcripts, snaps))
+    mentions = ck("mentions", lambda: extract_mention_table(transcripts, snaps), cache=True)
+
+    # ---- the scale pivot: deduplicate to the surface vocabulary -----
+    surfaces = ck(
+        "surfaces",
+        lambda: mentions.select("snapshot_ts", "surface").distinct(),
+        cache=True,
+    )
 
     def _blocks() -> DataFrame:
-        m = mentions.withColumn("nkey", norm_key("surface"))
-        exact = m.select(
-            "snapshot_ts", "mention_id", "surface",
-            F.concat(F.lit("N:"), F.col("nkey")).alias("block_key"),
+        s = surfaces.withColumn("nkey", norm_key("surface"))
+        exact = s.select(
+            "snapshot_ts", "surface", F.concat(F.lit("N:"), F.col("nkey")).alias("block_key")
         )
         # first-token key links abbreviated surfaces ("Falcon" ↔
         # "Falcon Krypton Prairie") — the Zipf-hot key that cap/salt
         # logic exists for.
-        first = m.select(
-            "snapshot_ts", "mention_id", "surface",
-            F.concat(F.lit("F:"), first_token_key("surface")).alias("block_key"),
+        first = s.select(
+            "snapshot_ts", "surface", F.concat(F.lit("F:"), first_token_key("surface")).alias("block_key")
         )
-        lsh = lsh_band_blocks(m, "surface", n_hashes=lsh_hashes, bands=lsh_bands).select(
-            "snapshot_ts", "mention_id", "surface",
+        lsh = lsh_band_blocks(s, "surface", n_hashes=lsh_hashes, bands=lsh_bands).select(
+            "snapshot_ts", "surface",
             F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
         )
         return exact.unionByName(first).unionByName(lsh)
@@ -108,25 +132,31 @@ def run_pipeline(
     pairs = ck(
         "pairs",
         lambda: candidate_pairs(
-            blocks, ["snapshot_ts", "block_key"], "mention_id", ["surface"], cap=pair_cap
-        ),
+            blocks, ["snapshot_ts", "block_key"], "surface", [], cap=pair_cap
+        ).withColumnRenamed("id_a", "surface_a").withColumnRenamed("id_b", "surface_b"),
     )
 
-    scored = ck("scored", lambda: score_pairs(pairs, "surface_a", "surface_b", threshold=threshold))
-
-    edges = scored.filter(F.col("is_match")).select("snapshot_ts", "id_a", "id_b").unionByName(
-        abbreviation_edges(scored)
+    scored = ck(
+        "scored",
+        lambda: score_pairs(
+            pairs.withColumn("id_a", F.col("surface_a")).withColumn("id_b", F.col("surface_b")),
+            "surface_a", "surface_b", threshold=threshold,
+        ),
+        cache=True,
     )
 
     def _components() -> DataFrame:
+        edges = scored.filter(F.col("is_match")).select("snapshot_ts", "id_a", "id_b").unionByName(
+            abbreviation_edges(scored)
+        )
         # snapshot-scoped node ids keep one global CC run from ever
         # merging clusters across snapshots (ids never collide).
         e = edges.select(
-            F.concat_ws("@", F.col("snapshot_ts").cast("string"), "id_a").alias("id_a"),
-            F.concat_ws("@", F.col("snapshot_ts").cast("string"), "id_b").alias("id_b"),
+            F.concat_ws(_SEP, F.col("snapshot_ts").cast("string"), "id_a").alias("id_a"),
+            F.concat_ws(_SEP, F.col("snapshot_ts").cast("string"), "id_b").alias("id_b"),
         )
-        nodes = mentions.select(
-            F.concat_ws("@", F.col("snapshot_ts").cast("string"), "mention_id").alias("node")
+        nodes = surfaces.select(
+            F.concat_ws(_SEP, F.col("snapshot_ts").cast("string"), "surface").alias("node")
         )
         res = connected_components(e, nodes=nodes)
         if catalog is not None:
@@ -135,18 +165,30 @@ def run_pipeline(
                 {"iterations": res.iterations, "converged": res.converged, "history": res.history},
             )
         return res.components.select(
-            F.split_part("node", F.lit("@"), F.lit(1)).cast("timestamp").alias("snapshot_ts"),
-            F.split_part("node", F.lit("@"), F.lit(2)).alias("mention_id"),
-            F.split_part("component", F.lit("@"), F.lit(2)).alias("component"),
+            F.split_part("node", F.lit(_SEP), F.lit(1)).cast("timestamp").alias("snapshot_ts"),
+            F.split_part("node", F.lit(_SEP), F.lit(2)).alias("surface"),
+            F.split_part("component", F.lit(_SEP), F.lit(2)).alias("component"),
         )
 
-    components = ck("components", _components)
+    surface_components = ck("surface_components", _components)
+
+    # ---- broadcast the vocabulary assignment back to occurrences ----
+    # surface vocabulary is small relative to occurrences → broadcast
+    # hash join; 10^12 mention rows never shuffle.
+    components = ck(
+        "components",
+        lambda: mentions.select("snapshot_ts", "mention_id", "surface").join(
+            F.broadcast(surface_components), ["snapshot_ts", "surface"], "inner"
+        ).select("snapshot_ts", "mention_id", "component"),
+    )
 
     out = {
         "mentions": mentions,
+        "surfaces": surfaces,
         "blocks": blocks,
         "pairs": pairs,
         "scored": scored,
+        "surface_components": surface_components,
         "components": components,
     }
 

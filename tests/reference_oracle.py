@@ -1,0 +1,207 @@
+"""Single-node oracle re-implementing the pipeline's record-linkage
+semantics in plain Python (pandas rows + hashlib + union-find) — the
+stand-in for the reference's single-node behavior per SURVEY.md §5.3
+and BASELINE.md ("pairwise F1 vs reference clusters").
+
+Deliberately shares NO Spark code: blocking hashes come from hashlib,
+clustering is union-find, scoring formulas are re-typed from the
+definitions (reference formulas: ratio_edit_distance_v2
+misc/utils.py:22-26, must-link threshold s03_dataset_creator.json:44).
+Only the mention-extraction regex rules are imported, because both
+sides are specified by the same reference lines (s01:117-274).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+
+from tempel_spark.functions.mentions import _extract_one
+
+MUST_LINK_RATIO = 0.2
+SCORE_THRESHOLD = 0.75
+
+
+def normalize(s: str) -> str:
+    return re.sub(" +", " ", s.lower().replace("_", " ")).strip()
+
+
+def levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def lev_ratio(a: str, b: str) -> float:
+    return levenshtein(a, b) / max(len(a), len(b), 1)
+
+
+def jaccard(a: str, b: str) -> float:
+    ta, tb = set(a.split(" ")), set(b.split(" "))
+    return len(ta & tb) / max(len(ta | tb), 1)
+
+
+def jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    f1, f2 = [False] * l1, [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(l2, i + md + 1)):
+            if not f2[j] and s2[j] == c:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if not m:
+        return 0.0
+    t = k = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            t += s1[i] != s2[k]
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+def jaro_winkler(a: str, b: str) -> float:
+    j = jaro(a, b)
+    if j <= 0.7:
+        return j
+    p = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        p += 1
+    return j + p * 0.1 * (1 - j)
+
+
+def minhash_band_keys(surface: str, n_hashes: int = 6, bands: int = 3, k: int = 3) -> list[str]:
+    s = normalize(surface)
+    shingles = [s[i : i + k] for i in range(max(len(s) - k + 1, 1))]
+    sig = [
+        min(hashlib.md5(f"mh{seed}:{sh}".encode()).hexdigest() for sh in shingles)
+        for seed in range(n_hashes)
+    ]
+    rpb = n_hashes // bands
+    return [f"L{b}:" + "|".join(sig[b * rpb : (b + 1) * rpb]) for b in range(bands)]
+
+
+class UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            self.p[rb] = ra
+
+
+def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
+    """rows: iterable of (conv_id, turn_idx, text, ts: datetime).
+    Returns {snapshot@mention_id: component_label} mirroring the
+    pipeline semantics: clustering runs on the DISTINCT SURFACE
+    vocabulary per snapshot (identical surfaces are must-links by
+    definition), mentions inherit their surface's component."""
+    import datetime as dt
+
+    cuts = [dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S") for s in snapshots]
+
+    mentions = []  # (snap, mention_id, surface)
+    for conv_id, turn_idx, text, ts in rows:
+        snap = min((c for c in cuts if ts <= c), default=None)
+        if snap is None:
+            continue
+        for _target, m, s, _e in _extract_one(text):
+            mentions.append((snap, f"{conv_id}:{turn_idx}:{s}", m))
+
+    surfaces = sorted({(snap, surf) for snap, _mid, surf in mentions})
+
+    # blocking: exact norm + first token + minhash bands (per snapshot)
+    blocks = defaultdict(list)
+    for snap, surf in surfaces:
+        n = normalize(surf)
+        blocks[(snap, "N:" + n)].append(surf)
+        blocks[(snap, "F:" + n.split(" ")[0])].append(surf)
+        for bk in minhash_band_keys(surf):
+            blocks[(snap, bk)].append(surf)
+
+    pairs = set()
+    for (snap, _bk), members in blocks.items():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((snap, ms[i], ms[j]))
+
+    uf = UnionFind()
+    for snap, surf in surfaces:
+        uf.find((snap, surf))
+
+    abbrev_best = {}
+    for snap, sa, sb in sorted(pairs):
+        na, nb = normalize(sa), normalize(sb)
+        lr = lev_ratio(na, nb)
+        jc = jaccard(na, nb)
+        jw = jaro_winkler(na, nb)
+        score = 0.45 * jw + 0.30 * (1 - lr) + 0.25 * jc
+        ta, tb = na.split(" "), nb.split(" ")
+        subset = not (set(ta) - set(tb)) or not (set(tb) - set(ta))
+        n_small = min(len(ta), len(tb))
+        must = lr < MUST_LINK_RATIO or (subset and n_small >= 2)
+        is_abbrev = subset and n_small == 1 and lr >= MUST_LINK_RATIO
+        if must or score >= SCORE_THRESHOLD:
+            uf.union((snap, sa), (snap, sb))
+        elif is_abbrev:
+            src = sa if len(ta) <= len(tb) else sb
+            key = (snap, src)
+            cand = (-score, sa, sb)
+            if key not in abbrev_best or cand < abbrev_best[key]:
+                abbrev_best[key] = cand
+    for (snap, _src), (_s, sa, sb) in abbrev_best.items():
+        uf.union((snap, sa), (snap, sb))
+
+    return {f"{snap}@{mid}": uf.find((snap, surf))[1] for snap, mid, surf in mentions}
+
+
+def pairwise_f1_partitions(pred: dict, gold: dict) -> float:
+    """pred/gold: {item: label} over the same item set."""
+    def pair_set(d):
+        groups = defaultdict(list)
+        for k, v in d.items():
+            groups[v].append(k)
+        s = set()
+        for members in groups.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    s.add((members[i], members[j]))
+        return s
+
+    p, g = pair_set(pred), pair_set(gold)
+    if not p and not g:
+        return 1.0
+    tp = len(p & g)
+    prec = tp / len(p) if p else 1.0
+    rec = tp / len(g) if g else 1.0
+    return 2 * prec * rec / (prec + rec) if prec + rec else 0.0

@@ -1,0 +1,122 @@
+"""End-to-end pipeline tests: reference-semantics F1 gate, per-turn
+text equality invariant, determinism, resume, transitivity."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.reference_oracle import cluster_transcripts, pairwise_f1_partitions
+
+SNAPSHOTS = [f"{y}-01-01 00:00:00" for y in (2013, 2014, 2015, 2016)]
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    from tempel_spark.synth import synth_transcripts
+
+    return synth_transcripts(spark, n_convs=50, n_entities=12, n_snapshots=3, with_gold=True).cache()
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, transcripts):
+    from tempel_spark.plans.pipeline import run_pipeline
+
+    return run_pipeline(spark, transcripts.drop("gold_entity_id", "surface"), snapshots=SNAPSHOTS)
+
+
+def test_f1_vs_reference_oracle(spark, transcripts, pipeline_result):
+    """BASELINE.json gate: pairwise F1 ≥ 0.99 vs the single-node oracle
+    implementing the reference formulas, per snapshot."""
+    rows = [
+        (r.conv_id, r.turn_idx, r.text, r.ts)
+        for r in transcripts.select("conv_id", "turn_idx", "text", "ts").collect()
+    ]
+    oracle = cluster_transcripts(rows, SNAPSHOTS)
+
+    comp = pipeline_result["components"].collect()
+    pred = {f"{r.snapshot_ts:%Y-%m-%d %H:%M:%S}@{r.mention_id}": r.component for r in comp}
+
+    assert set(pred) == set(oracle), (
+        f"mention universe mismatch: {len(pred)} vs {len(oracle)}; "
+        f"sample spark-only {sorted(set(pred) - set(oracle))[:3]}, "
+        f"oracle-only {sorted(set(oracle) - set(pred))[:3]}"
+    )
+    # per-snapshot F1
+    snaps = {k.split("@")[0] for k in oracle}
+    for s in sorted(snaps):
+        p = {k: v for k, v in pred.items() if k.startswith(s)}
+        g = {k: v for k, v in oracle.items() if k.startswith(s)}
+        f1 = pairwise_f1_partitions(p, g)
+        assert f1 >= 0.99, f"snapshot {s}: pairwise F1 {f1:.4f} < 0.99"
+
+
+def test_per_turn_text_equality(spark, transcripts):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering after snapshot assignment."""
+    from tempel_spark.operators.asof import assign_snapshot
+
+    trans = transcripts.drop("gold_entity_id", "surface")
+    snapped = assign_snapshot(trans, "ts", SNAPSHOTS)
+    orig = {(r.conv_id, r.turn_idx): r.text for r in trans.collect()}
+    out = {(r.conv_id, r.turn_idx): r.text for r in snapped.collect()}
+    assert set(out).issubset(set(orig))
+    for k, v in out.items():
+        assert orig[k] == v, f"text drift at {k}"
+    # stable dense ordering preserved
+    bad = (
+        snapped.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("turn_idx").alias("d"))
+        .filter(F.col("n") != F.col("d"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_determinism(spark, transcripts):
+    from tempel_spark.plans.pipeline import run_pipeline
+
+    trans = transcripts.drop("gold_entity_id", "surface")
+    a = sorted(map(tuple, run_pipeline(spark, trans, snapshots=SNAPSHOTS)["components"].collect()))
+    b = sorted(map(tuple, run_pipeline(spark, trans, snapshots=SNAPSHOTS)["components"].collect()))
+    assert a == b
+
+
+def test_resume_from_checkpoint(spark, transcripts):
+    from tempel_spark.plans.pipeline import run_pipeline
+    from tempel_spark.sources.catalog import Catalog
+
+    trans = transcripts.drop("gold_entity_id", "surface")
+    with tempfile.TemporaryDirectory(prefix="tempel_ck_") as tmp:
+        cat = Catalog(spark, tmp)
+        a = sorted(map(tuple, run_pipeline(spark, trans, catalog=cat, snapshots=SNAPSHOTS)["components"].collect()))
+        # second run resumes every stage from the published checkpoints
+        b = sorted(map(tuple, run_pipeline(spark, trans, catalog=cat, snapshots=SNAPSHOTS)["components"].collect()))
+        assert a == b
+        assert cat.exists("mentions") and cat.exists("components")
+        lineage = cat.partition_lineage("mentions").collect()
+        assert sum(r.rows for r in lineage) > 0
+
+
+def test_cluster_transitivity(pipeline_result):
+    comp = pipeline_result["components"]
+    # one component per mention (assignment is a function)
+    dup = comp.groupBy("snapshot_ts", "mention_id").count().filter("count > 1").count()
+    assert dup == 0
+    # component representative must itself be a surface present in the snapshot
+    surfaces = pipeline_result["surfaces"]
+    reps = comp.select("snapshot_ts", F.col("component").alias("surface")).distinct()
+    missing = reps.join(surfaces, ["snapshot_ts", "surface"], "left_anti").count()
+    assert missing == 0
+    # consistency: all mentions of one surface share a component
+    multi = (
+        pipeline_result["mentions"]
+        .join(comp, ["snapshot_ts", "mention_id"])
+        .groupBy("snapshot_ts", "surface")
+        .agg(F.countDistinct("component").alias("d"))
+        .filter("d > 1")
+        .count()
+    )
+    assert multi == 0
