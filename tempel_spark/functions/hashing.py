@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["hash_uniform", "hash_bucket", "md5_minhash_value", "fingerprint64"]
+__all__ = ["hash_uniform", "hash_bucket", "md5_uniform", "md5_minhash_value", "fingerprint64"]
 
 _MOD = 1_000_000_000
 
@@ -33,6 +33,15 @@ def hash_bucket(n: int, *cols: Column | str, seed: int = 42) -> Column:
     """Deterministic int bucket in [0, n) — used for salting hot
     blocking keys (SURVEY.md §4 item 1) and round-robin assignment."""
     return F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(n)).cast("int")
+
+
+def md5_uniform(col: Column | str, seed: int = 42) -> Column:
+    """U[0,1) from md5 — slower than xxhash64 but bit-identical in any
+    SQL engine (`('0x'||substr(md5(seed||x),1,15))::bigint / 2^60`),
+    so sampling decisions built on it are oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = F.conv(F.substring(F.md5(F.concat(F.lit(f"u{seed}:"), c.cast("string"))), 1, 15), 16, 10)
+    return (v.cast("double") / F.lit(float(2**60))).cast("double")
 
 
 def md5_minhash_value(col: Column | str, seed: int) -> Column:

@@ -31,16 +31,20 @@ def assign_snapshot(df: DataFrame, ts_col: str = "ts", snapshots: list[str] | No
     """Tag each row with the *next* cut ≥ ts (rows after the last cut
     are dropped, mirroring the reference's per-cut filtering).
 
-    Implemented as a small values-join: snapshot list is tiny (10 in
-    the reference) → broadcast + min-aggregate, no UDF, prunable.
+    The cut list is tiny (10 in the reference) and known at plan time,
+    so this is a pure PROJECTION — a when-chain over sorted cuts, zero
+    shuffle, fully codegen'd. (A values-join + groupBy would shuffle
+    the entire 10^12-row corpus just to attach one column.)
     """
-    snaps = snapshots or yearly_snapshots()
-    sdf = df.sparkSession.createDataFrame([(s,) for s in snaps], "snapshot_ts string").select(
-        F.to_timestamp("snapshot_ts").alias("snapshot_ts")
-    )
-    j = df.join(F.broadcast(sdf), F.col(ts_col) <= F.col("snapshot_ts"), "inner")
-    keys = [c for c in df.columns]
-    return j.groupBy(*keys).agg(F.min("snapshot_ts").alias("snapshot_ts"))
+    snaps = sorted(snapshots or yearly_snapshots())
+    ts = F.col(ts_col)
+    expr = None
+    for s in reversed(snaps):
+        cut = F.to_timestamp(F.lit(s))
+        expr = F.when(ts <= cut, cut) if expr is None else F.when(ts <= cut, cut).otherwise(expr)
+    # reversed build means the FIRST (smallest) matching cut wins
+    out = df.withColumn("snapshot_ts", expr)
+    return out.filter(F.col("snapshot_ts").isNotNull())
 
 
 def asof_stable_version(

@@ -105,7 +105,11 @@ def lsh_band_blocks(
     the MinHash signature. Rows sharing any band key are candidates.
     Output adds (band_id int, block_key string)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(text_col, n_hashes, k)
+    # materialize the signature ONCE: element_at over a plain column
+    # reference — inlining `sig` would duplicate the whole
+    # shingle+md5 expression tree per band element (n_hashes× the work)
+    sig_df = df.withColumn("_sig", minhash_signature(text_col, n_hashes, k))
+    sig = F.col("_sig")
     bandkeys = F.array(
         *[
             F.struct(
@@ -115,7 +119,11 @@ def lsh_band_blocks(
             for b in range(bands)
         ]
     )
-    return df.withColumn("_bk", F.explode(bandkeys)).select("*", "_bk.band_id", "_bk.block_key").drop("_bk")
+    return (
+        sig_df.withColumn("_bk", F.explode(bandkeys))
+        .select("*", "_bk.band_id", "_bk.block_key")
+        .drop("_bk", "_sig")
+    )
 
 
 def salt_blocks(df: DataFrame, key_col: str, id_col: str, n_salt: int = 8, hot_threshold: int = 10_000) -> DataFrame:

@@ -85,12 +85,30 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_every: int = 1,
     durable_checkpoint=None,
+    shuffle_partitions: int | None = None,
 ) -> CCResult:
     """edges: undirected pair list. nodes: optional full node universe
     (id column named like ``id_a``) so singletons get their own
     component. durable_checkpoint: optional fn(df, iteration) -> df
     that persists and re-reads (catalog-backed) for resumability.
+
+    shuffle_partitions: per-iteration shuffle width. The loop runs
+    ~4 shuffles × O(log n) iterations over a graph that SHRINKS every
+    round, so inheriting a large session-wide width spends more time
+    scheduling empty reducers than computing — size it to the edge
+    list (e.g. 1 partition per ~1M edges), not to the input corpus.
     """
+    spark = edges.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint) -> CCResult:
     e = (
         edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -104,7 +122,9 @@ def connected_components(
     for it in range(1, max_iter + 1):
         e = _small_star(_large_star(e))
         if it % checkpoint_every == 0:
-            e = e.localCheckpoint(eager=True)
+            # lazy: the signature aggregate right below materializes it,
+            # so each iteration costs ONE job, not two
+            e = e.localCheckpoint(eager=False)
         if durable_checkpoint is not None:
             e = durable_checkpoint(e, it)
         sig = _signature(e)

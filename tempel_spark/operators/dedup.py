@@ -1,0 +1,172 @@
+"""Deduplication operator family (build-contract first-class ops).
+
+All variants follow the same shape — derive a deterministic key or
+candidate pair set, decide, keep min-id representative — so any of
+them can slot into the ER pipeline's blocking stage.
+
+* exact_dedup           — hash-groupBy on normalized content
+* ngram_jaccard_dedup   — char-n-gram Jaccard ≥ τ within LSH blocks
+* minhash_lsh_dedup     — band-bucket candidates (shingle→minhash→
+                          band→bucket-join), verified by true Jaccard
+* simhash64 / simhash_dedup — 64-bit SimHash + Hamming ≤ r within
+                          rotated-band blocks
+* embedding_dedup       — cosine ≥ τ within hyperplane buckets
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tempel_spark.functions.text import normalize_mention
+from tempel_spark.operators.blocking import candidate_pairs, char_shingles, lsh_band_blocks
+from tempel_spark.operators.topk import hyperplane_bucket
+from tempel_spark.functions.similarity import cosine_sim
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_dedup",
+    "simhash64",
+    "simhash_dedup",
+    "embedding_dedup",
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, keep_id, n_copies, all_ids) — one map-side-
+    combinable groupBy; the representative is min(id) (deterministic)."""
+    return df.groupBy(F.md5(normalize_mention(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+    )
+
+
+def _jaccard_arrays(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return (inter / F.greatest(union, F.lit(1))).cast("double")
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 6,
+    bands: int = 3,
+    cap: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs: LSH-blocked candidates verified by exact
+    char-k-gram Jaccard ≥ threshold. Output (id_a, id_b, jaccard)."""
+    blocked = lsh_band_blocks(df.select(id_col, text_col), text_col, n_hashes, bands, k)
+    blocked = blocked.withColumn("_bk", F.concat_ws(":", F.col("band_id"), F.col("block_key")))
+    pairs = candidate_pairs(blocked, ["_bk"], id_col, [text_col], cap=cap, group_cols=[])
+    ga = F.array_distinct(char_shingles(f"{text_col}_a", k))
+    gb = F.array_distinct(char_shingles(f"{text_col}_b", k))
+    return (
+        pairs.withColumn("jaccard", _jaccard_arrays(ga, gb))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Classic MinHash-LSH dedup: shingle → minhash → band → bucket
+    join → verify. Same plan as ngram_jaccard_dedup with coarser
+    shingles and more bands (tuned for long documents)."""
+    return ngram_jaccard_dedup(df, id_col, text_col, k, threshold, n_hashes, bands)
+
+
+def simhash64(text_col: Column | str, k: int = 3) -> Column:
+    """64-bit SimHash of the char-k-gram multiset, fully native:
+
+    bit_j = sign( Σ_g  (md5-bit_j(g) ? +1 : -1) )
+
+    Each shingle contributes ±1 per bit from its md5; the per-bit sums
+    are majority votes. Built as 64 aggregate() folds over the shingle
+    array — heavy-ish expression but stays in codegen, no Python."""
+    def _voter(j: int):
+        # closure factory, NOT `lambda acc, w, j=j`: a default arg adds
+        # a third lambda parameter, which pyspark rejects/misbinds for
+        # higher-order functions (see blocking.minhash_signature note)
+        return lambda acc, w: acc + F.when(
+            F.shiftright(w, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sh = F.array_distinct(char_shingles(text_col, k))
+    word = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"))
+    bits = []
+    for j in range(60):  # 60 usable bits from 15 hex chars
+        vote = F.aggregate(word, F.lit(0), _voter(j))
+        bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint") * F.lit(2**j).cast("bigint"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup: Hamming(simhash_a, simhash_b) ≤ max_hamming.
+    Blocking = the pigeonhole bands trick: a pair within Hamming r
+    must agree exactly on at least one of r+1 disjoint bands — so
+    n_bands defaults to max_hamming+1 (fewer bands silently loses
+    recall), and candidates come from band-key equi-joins, never a
+    cross join."""
+    n_bands = n_bands or (max_hamming + 1)
+    bits_per_band = 60 // n_bands
+    with_hash = df.select(id_col, simhash64(text_col).alias("_sh"))
+    bands = []
+    for b in range(n_bands):
+        key = F.shiftright("_sh", b * bits_per_band).bitwiseAND(F.lit((1 << bits_per_band) - 1))
+        bands.append(
+            with_hash.select(
+                id_col, "_sh", F.concat_ws(":", F.lit(b), key.cast("string")).alias("_band")
+            )
+        )
+    blocked = bands[0]
+    for x in bands[1:]:
+        blocked = blocked.unionByName(x)
+    pairs = candidate_pairs(blocked, ["_band"], id_col, ["_sh"], cap=10_000, group_cols=[])
+    ham = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float = 0.95,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup within hyperplane buckets (exactly
+    the blocking the ivf_topk quantizer uses — near-identical vectors
+    land in the same bucket with high probability)."""
+    b = df.select(id_col, emb_col).withColumn("_bucket", hyperplane_bucket(emb_col, n_bits))
+    pairs = candidate_pairs(b, ["_bucket"], id_col, [emb_col], cap=10_000, group_cols=[])
+    sim = cosine_sim(f"{emb_col}_a", f"{emb_col}_b")
+    return (
+        pairs.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -40,6 +40,7 @@ def score_pairs(
     emb_a: str | None = None,
     emb_b: str | None = None,
     threshold: float = 0.75,
+    prenormalized: bool = False,
 ) -> DataFrame:
     """Add feature + score columns to a candidate-pair DataFrame and an
     `is_match` decision.
@@ -48,12 +49,22 @@ def score_pairs(
             (re-weighted to 0.35/0.25/0.20/0.20·cosine when
              embeddings are present)
     is_match = must_link OR score ≥ threshold
+
+    prenormalized: pass True when text_a/text_b are ALREADY normalized
+    (the pipeline normalizes once per distinct surface upstream).
+    Catalyst's CollapseProject inlines per-column expressions into
+    every consumer, so an inline normalize here would be re-executed
+    ~20× per pair row (regex each time) — normalizing on the distinct
+    vocabulary and carrying the result is the scale-correct shape.
     """
     # Features computed on normalized surfaces (lower/underscore/space
     # collapse — the reference normalizes mentions the same way before
     # its alias-table stats, s02:253-254) so case/underscore drift
     # never splits a cluster.
-    na, nb = normalize_mention(text_a), normalize_mention(text_b)
+    if prenormalized:
+        na, nb = F.col(text_a), F.col(text_b)
+    else:
+        na, nb = normalize_mention(text_a), normalize_mention(text_b)
     lev = levenshtein_ratio(na, nb)
     jac = token_jaccard(na, nb)
     jw = jaro_winkler_udf(na, nb)
@@ -103,6 +114,7 @@ def abbreviation_edges(
     group_cols: list[str] | None = None,
     text_a: str = "surface_a",
     text_b: str = "surface_b",
+    prenormalized: bool = False,
 ) -> DataFrame:
     """Resolve single-token abbreviation pairs: each abbreviation
     mention links to exactly its best-scoring full-form candidate
@@ -111,7 +123,10 @@ def abbreviation_edges(
     (s02_alias_table_generator.py:434-440). Returns (id_a, id_b)
     edges to union into the clustering edge list."""
     groups = group_cols or ["snapshot_ts"]
-    na, nb = normalize_mention(text_a), normalize_mention(text_b)
+    if prenormalized:
+        na, nb = F.col(text_a), F.col(text_b)
+    else:
+        na, nb = normalize_mention(text_a), normalize_mention(text_b)
     cand = scored.filter(F.col("is_abbrev") & ~F.col("is_match")).withColumn(
         "_src",
         F.when(F.size(F.split(na, " ")) <= F.size(F.split(nb, " ")), F.col("id_a")).otherwise(F.col("id_b")),

@@ -104,50 +104,72 @@ def run_pipeline(
     mentions = ck("mentions", lambda: extract_mention_table(transcripts, snaps), cache=True)
 
     # ---- the scale pivot: deduplicate to the surface vocabulary -----
+    # normalization happens HERE, once per distinct surface — every
+    # downstream feature references the materialized `norm` column.
+    # (Inlining it in the scorer would let CollapseProject re-execute
+    # the regex chain ~20× per candidate pair.)
     surfaces = ck(
         "surfaces",
-        lambda: mentions.select("snapshot_ts", "surface").distinct(),
+        lambda: mentions.select("snapshot_ts", "surface").distinct()
+        .withColumn("norm", norm_key("surface")),
         cache=True,
     )
 
     def _blocks() -> DataFrame:
-        s = surfaces.withColumn("nkey", norm_key("surface"))
-        exact = s.select(
-            "snapshot_ts", "surface", F.concat(F.lit("N:"), F.col("nkey")).alias("block_key")
+        exact = surfaces.select(
+            "snapshot_ts", "surface", "norm",
+            F.concat(F.lit("N:"), F.col("norm")).alias("block_key"),
         )
-        # first-token key links abbreviated surfaces ("Falcon" ↔
-        # "Falcon Krypton Prairie") — the Zipf-hot key that cap/salt
-        # logic exists for.
-        first = s.select(
-            "snapshot_ts", "surface", F.concat(F.lit("F:"), first_token_key("surface")).alias("block_key")
-        )
-        lsh = lsh_band_blocks(s, "surface", n_hashes=lsh_hashes, bands=lsh_bands).select(
-            "snapshot_ts", "surface",
+        lsh = lsh_band_blocks(surfaces, "norm", n_hashes=lsh_hashes, bands=lsh_bands).select(
+            "snapshot_ts", "surface", "norm",
             F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
         )
-        return exact.unionByName(first).unionByName(lsh)
+        return exact.unionByName(lsh)
 
-    blocks = ck("blocks", _blocks)
+    blocks = ck("blocks", _blocks, cache=True)
 
-    pairs = ck(
-        "pairs",
-        lambda: candidate_pairs(
-            blocks, ["snapshot_ts", "block_key"], "surface", [], cap=pair_cap
-        ).withColumnRenamed("id_a", "surface_a").withColumnRenamed("id_b", "surface_b"),
-    )
+    def _pairs() -> DataFrame:
+        sym = candidate_pairs(
+            blocks, ["snapshot_ts", "block_key"], "surface", ["norm"], cap=pair_cap
+        ).select("snapshot_ts", "id_a", "id_b", "norm_a", "norm_b")
+
+        # first-token key links abbreviated surfaces ("Falcon" ↔
+        # "Falcon Krypton Prairie"). This is the Zipf-hot key, so it is
+        # BIPARTITE by construction: single-token abbreviations on one
+        # side × multi-token full forms on the other. Multi×multi
+        # near-dups are already covered by the N:/LSH keys, and
+        # skipping them turns the hot block's O(n²) pair blowup into
+        # O(#abbr × #full) — the skew guardrail that replaces the
+        # reference's max_mentions_per_entity cap (s03:491-501).
+        ntok = F.size(F.split(F.col("norm"), " "))
+        fkey = F.split(F.col("norm"), " ").getItem(0)
+        abbr = surfaces.filter(ntok == 1).select(
+            "snapshot_ts", fkey.alias("fkey"), F.col("surface").alias("s1"), F.col("norm").alias("n1")
+        )
+        full = surfaces.filter(ntok >= 2).select(
+            "snapshot_ts", fkey.alias("fkey"), F.col("surface").alias("s2"), F.col("norm").alias("n2")
+        )
+        lt = F.col("s1") < F.col("s2")
+        bip = abbr.join(full, ["snapshot_ts", "fkey"]).select(
+            "snapshot_ts",
+            F.when(lt, F.col("s1")).otherwise(F.col("s2")).alias("id_a"),
+            F.when(lt, F.col("s2")).otherwise(F.col("s1")).alias("id_b"),
+            F.when(lt, F.col("n1")).otherwise(F.col("n2")).alias("norm_a"),
+            F.when(lt, F.col("n2")).otherwise(F.col("n1")).alias("norm_b"),
+        )
+        return sym.unionByName(bip).dropDuplicates(["snapshot_ts", "id_a", "id_b"])
+
+    pairs = ck("pairs", _pairs, cache=True)
 
     scored = ck(
         "scored",
-        lambda: score_pairs(
-            pairs.withColumn("id_a", F.col("surface_a")).withColumn("id_b", F.col("surface_b")),
-            "surface_a", "surface_b", threshold=threshold,
-        ),
+        lambda: score_pairs(pairs, "norm_a", "norm_b", threshold=threshold, prenormalized=True),
         cache=True,
     )
 
     def _components() -> DataFrame:
         edges = scored.filter(F.col("is_match")).select("snapshot_ts", "id_a", "id_b").unionByName(
-            abbreviation_edges(scored)
+            abbreviation_edges(scored, text_a="norm_a", text_b="norm_b", prenormalized=True)
         )
         # snapshot-scoped node ids keep one global CC run from ever
         # merging clusters across snapshots (ids never collide).
@@ -158,7 +180,9 @@ def run_pipeline(
         nodes = surfaces.select(
             F.concat_ws(_SEP, F.col("snapshot_ts").cast("string"), "surface").alias("node")
         )
-        res = connected_components(e, nodes=nodes)
+        # vocabulary-scale graph: size the CC shuffle to the edge
+        # list, not to the corpus-wide session default
+        res = connected_components(e, nodes=nodes, shuffle_partitions=16)
         if catalog is not None:
             catalog.log_metrics(
                 "clustering",
@@ -170,7 +194,7 @@ def run_pipeline(
             F.split_part("component", F.lit(_SEP), F.lit(2)).alias("component"),
         )
 
-    surface_components = ck("surface_components", _components)
+    surface_components = ck("surface_components", _components, cache=True)
 
     # ---- broadcast the vocabulary assignment back to occurrences ----
     # surface vocabulary is small relative to occurrences → broadcast

@@ -512,3 +512,4 @@ def q_min_across_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text / vector / dedup suite registers itself into QUERIES/ORACLES
 from tempel_spark.plans import testdata_queries_text  # noqa: E402,F401
 from tempel_spark.plans import testdata_queries_er  # noqa: E402,F401
+from tempel_spark.plans import testdata_queries_dedup  # noqa: E402,F401

@@ -1,0 +1,286 @@
+"""Dedup / ANN / deterministic-sampling / positional queries with
+DuckDB oracles — including a fully oracle-checked 60-bit SimHash
+(the SQL side is generated programmatically: 60 majority-vote bit
+expressions over the same md5-derived shingle hashes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tempel_spark.functions.hashing import md5_uniform
+from tempel_spark.operators.dedup import simhash64
+from tempel_spark.operators.topk import hyperplane_bucket, ivf_topk
+from tempel_spark.plans.testdata_queries import register, t
+from tempel_spark.plans.testdata_queries_text import _NORM
+
+# --- shared SQL fragments --------------------------------------------
+
+_SHINGLES = (
+    "list_transform(range(1, greatest(length({norm}) - 2, 1) + 1), "
+    "i -> substr({norm}, i::int, 3))"
+)
+_N40 = _NORM.format(col="substr(text, 1, 40)")
+
+
+def _simhash_sql(shingles_expr: str) -> str:
+    terms = []
+    for j in range(60):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform({shingles_expr}, "
+            f"g -> CASE WHEN (('0x' || substr(md5(g), 1, 15))::bigint >> {j}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {2**j}::bigint ELSE 0::bigint END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "q_simhash",
+    f"""
+    SELECT doc_id, {_simhash_sql(f"list_distinct({_SHINGLES.format(norm=_N40)})")} AS simhash
+    FROM documents
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints — the iterative bit-majority
+    construction, oracle-checked bit-for-bit (the SQL twin is 60
+    generated majority-vote terms)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(F.substring("text", 1, 40)).alias("simhash"))
+
+
+@register(
+    "q_ngram_dedup_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct({_SHINGLES.format(norm=_N40)}) AS grams
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::double
+                 / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::double
+          / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+    """,
+)
+def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard near-dup pairs within lang blocks (the
+    n-gram-Jaccard dedup family, verification step)."""
+    from tempel_spark.operators.blocking import char_shingles
+
+    d = t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", "lang",
+        F.array_distinct(char_shingles(F.substring("text", 1, 40), 3)).alias("grams"),
+    )
+    a = g.select(F.col("doc_id").alias("id_a"), "lang", F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), "lang", F.col("grams").alias("gb"))
+    jac = (
+        F.size(F.array_intersect("ga", "gb"))
+        / F.greatest(F.size(F.array_union("ga", "gb")), F.lit(1))
+    ).cast("double")
+    return (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_j", jac)
+        .filter(F.col("_j") >= 0.5)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+    )
+
+
+_BUCKET_SQL = """
+    ({bits})
+""".strip()
+
+
+def _bucket_bit_sql(b: int) -> str:
+    return (
+        f"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> embedding[i]::double * (CASE WHEN substr(md5('hp{b}:' || i::varchar), 1, 1) >= '8' "
+        f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN {2**b} ELSE 0 END)"
+    )
+
+
+@register(
+    "q_ivf_buckets",
+    f"""
+    SELECT {" + ".join(_bucket_bit_sql(b) for b in range(3))} AS bucket,
+           count(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer census: hyperplane sign-bit buckets —
+    the blocking structure behind approximate k-NN (J12), with both
+    engines deriving identical pseudo-random hyperplanes from md5."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.withColumn("bucket", hyperplane_bucket("embedding", n_bits=3))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register(
+    "q_ivf_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {" + ".join(_bucket_bit_sql(x) for x in range(3))} AS bucket
+      FROM embeddings)
+    SELECT query_id, cand_id, cosine, rn AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS rn
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 6)
+    WHERE rn <= 3
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN: candidates restricted to the query's
+    hyperplane bucket (IVF nprobe=1 semantics) — J12's role with a
+    deterministic, oracle-checkable quantizer."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    out = ivf_topk(q, c, k=4, n_bits=3)  # k=4 then drop self-match
+    return (
+        out.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", F.round("score", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "q_weighted_quota",
+    """
+    SELECT o_orderpriority, o_orderkey FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY pow(greatest(('0x' || substr(md5('u42:' || o_orderkey::varchar), 1, 15))::bigint
+                                     / 1152921504606846976.0, 1e-12),
+                            1.0 / greatest(o_totalprice, 1e-12)) DESC,
+                        o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 5
+    """,
+)
+def q_weighted_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: weighted reduction to a per-group quota via deterministic
+    Efraimidis-Spirakis races (u^(1/w), u = md5-uniform) — the
+    reference's multiset weighted sampler (s03:544-571) without a
+    single nondeterministic draw."""
+    o = t(spark, sf_dir, "orders")
+    u = md5_uniform("o_orderkey", seed=42)
+    race = F.pow(F.greatest(u, F.lit(1e-12)), 1.0 / F.greatest(F.col("o_totalprice"), F.lit(1e-12)))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc(race), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey")
+    )
+
+
+@register(
+    "q_positional_join",
+    """
+    WITH c AS (SELECT c_name, row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+               FROM customer),
+         s AS (SELECT s_name, row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn
+               FROM supplier)
+    SELECT c.rn AS rank, c.c_name, s.s_name
+    FROM c JOIN s ON c.rn = s.rn
+    WHERE c.rn <= 20
+    """,
+)
+def q_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: positional zip of two independently ranked lists via
+    row_number (the reference's new_id alignment, s03:488-536)."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    wc = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    ws = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    cr = c.select("c_name", F.row_number().over(wc).alias("rank")).filter(F.col("rank") <= 20)
+    sr = s.select("s_name", F.row_number().over(ws).alias("rank")).filter(F.col("rank") <= 20)
+    return cr.join(sr, "rank").select("rank", "c_name", "s_name")
+
+
+@register(
+    "q_except",
+    """
+    SELECT c_nationkey AS n_nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: EXCEPT (distinct) set difference."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    # subtract = EXCEPT DISTINCT (exceptAll is multiset difference,
+    # which leaves every extra duplicate occurrence behind)
+    return c.subtract(s)
+
+
+@register(
+    "q_context_window",
+    """
+    SELECT doc_id,
+           substr(text, greatest(strpos(text, 'value') - 20, 1),
+                  least(strpos(text, 'value') - 1, 20)) AS left_ctx,
+           substr(text, strpos(text, 'value'), 25) AS right_ctx
+    FROM documents WHERE strpos(text, 'value') > 0
+    """,
+)
+def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: left/right context windows around a mention span
+    (s03_final_dataset_creator_utils.py:70-91)."""
+    from tempel_spark.functions.text import context_window
+
+    d = t(spark, sf_dir, "documents")
+    pos = F.instr("text", "value")
+    left, right = context_window("text", pos, 0)  # widths set below
+    d = d.filter(pos > 0)
+    left = F.col("text").substr(F.greatest(pos - 20, F.lit(1)), F.least(pos - 1, F.lit(20)))
+    right = F.col("text").substr(pos, F.lit(25))
+    return d.select("doc_id", left.alias("left_ctx"), right.alias("right_ctx"))
+
+
+@register(
+    "q_drift_stats",
+    """
+    SELECT a.lang,
+           count(*) AS n_pairs,
+           round(avg(len(list_intersect(string_split(a.text, ' '), string_split(b.text, ' ')))::double
+                     / greatest(len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                              string_split(b.text, ' ')))), 1)), 6) AS avg_jaccard
+    FROM documents a JOIN documents b ON a.lang = b.lang AND a.doc_id = b.doc_id - 1
+    GROUP BY a.lang
+    """,
+)
+def q_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: grouped text-drift statistics — mean pairwise Jaccard of
+    adjacent documents per group (reference snapshot-drift stats,
+    s04_final_dataset_statistics_change.py:196-490)."""
+    from tempel_spark.functions.similarity import token_jaccard
+
+    d = t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("ia"), "lang", F.col("text").alias("ta"))
+    b = d.select((F.col("doc_id") - 1).alias("ia"), F.col("lang").alias("lang_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, "ia")
+        .filter(F.col("lang") == F.col("lang_b"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(token_jaccard("ta", "tb")), 6).alias("avg_jaccard"),
+        )
+    )

@@ -138,12 +138,19 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
 
     surfaces = sorted({(snap, surf) for snap, _mid, surf in mentions})
 
-    # blocking: exact norm + first token + minhash bands (per snapshot)
+    # blocking: exact norm + minhash bands (self-join blocks) plus the
+    # BIPARTITE first-token block (single-token abbreviations × multi-
+    # token full forms only — mirrors pipeline's hot-key guardrail)
     blocks = defaultdict(list)
+    fblocks = defaultdict(lambda: ([], []))  # key -> (abbrs, fulls)
     for snap, surf in surfaces:
         n = normalize(surf)
         blocks[(snap, "N:" + n)].append(surf)
-        blocks[(snap, "F:" + n.split(" ")[0])].append(surf)
+        toks = n.split(" ")
+        if len(toks) == 1:
+            fblocks[(snap, toks[0])][0].append(surf)
+        else:
+            fblocks[(snap, toks[0])][1].append(surf)
         for bk in minhash_band_keys(surf):
             blocks[(snap, bk)].append(surf)
 
@@ -153,6 +160,10 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
                 pairs.add((snap, ms[i], ms[j]))
+    for (snap, _tok), (abbrs, fulls) in fblocks.items():
+        for a in set(abbrs):
+            for f in set(fulls):
+                pairs.add((snap, min(a, f), max(a, f)))
 
     uf = UnionFind()
     for snap, surf in surfaces:
