@@ -61,15 +61,21 @@ def sorted_token_key(col: Column | str) -> Column:
     return F.array_join(F.array_sort(F.array_distinct(F.split(normalize_mention(col), " "))), " ")
 
 
-def char_shingles(col: Column | str, k: int = 3) -> Column:
+def char_shingles(col: Column | str, k: int = 3, normalize: bool = True) -> Column:
     """array<string> of k-char shingles, fully native:
-    transform(sequence(1, len-k+1), i -> substr(text, i, k))."""
-    c = normalize_mention(col)
+    transform(sequence(1, len-k+1), i -> substr(text, i, k)).
+
+    Pass normalize=False when the input column is already normalized —
+    the normalization expression lands INSIDE the per-shingle lambda
+    and would otherwise re-run the regex chain once per character
+    position (caught by the plan-audit test: 352 regexp_replace nodes
+    in one scoring plan)."""
+    c = normalize_mention(col) if normalize else (F.col(col) if isinstance(col, str) else col)
     n = F.greatest(F.length(c) - (k - 1), F.lit(1))
     return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
 
 
-def minhash_signature(col: Column | str, n_hashes: int = 6, k: int = 3) -> Column:
+def minhash_signature(col: Column | str, n_hashes: int = 6, k: int = 3, normalize: bool = True) -> Column:
     """array<string> of length n_hashes: per seed, the lexicographic
     min md5 over the shingle set (classic MinHash with md5-derived
     permutations; J12's candidate-generation role in SURVEY.md).
@@ -88,7 +94,7 @@ def minhash_signature(col: Column | str, n_hashes: int = 6, k: int = 3) -> Colum
 
     return F.array(
         *[
-            F.array_min(F.transform(char_shingles(col, k), _hasher(i)))
+            F.array_min(F.transform(char_shingles(col, k, normalize=normalize), _hasher(i)))
             for i in range(n_hashes)
         ]
     )
@@ -100,6 +106,7 @@ def lsh_band_blocks(
     n_hashes: int = 6,
     bands: int = 3,
     k: int = 3,
+    normalize: bool = True,
 ) -> DataFrame:
     """Explode each row into `bands` rows keyed by the band's slice of
     the MinHash signature. Rows sharing any band key are candidates.
@@ -108,7 +115,7 @@ def lsh_band_blocks(
     # materialize the signature ONCE: element_at over a plain column
     # reference — inlining `sig` would duplicate the whole
     # shingle+md5 expression tree per band element (n_hashes× the work)
-    sig_df = df.withColumn("_sig", minhash_signature(text_col, n_hashes, k))
+    sig_df = df.withColumn("_sig", minhash_signature(text_col, n_hashes, k, normalize=normalize))
     sig = F.col("_sig")
     bandkeys = F.array(
         *[

@@ -62,9 +62,11 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _signature(e: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive AND overflow-free (sum(xxhash64)
+    # overflows long under ANSI mode — bit at spark-submit defaults)
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 

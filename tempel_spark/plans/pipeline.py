@@ -120,7 +120,7 @@ def run_pipeline(
             "snapshot_ts", "surface", "norm",
             F.concat(F.lit("N:"), F.col("norm")).alias("block_key"),
         )
-        lsh = lsh_band_blocks(surfaces, "norm", n_hashes=lsh_hashes, bands=lsh_bands).select(
+        lsh = lsh_band_blocks(surfaces, "norm", n_hashes=lsh_hashes, bands=lsh_bands, normalize=False).select(
             "snapshot_ts", "surface", "norm",
             F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
         )

@@ -513,3 +513,4 @@ def q_min_across_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 from tempel_spark.plans import testdata_queries_text  # noqa: E402,F401
 from tempel_spark.plans import testdata_queries_er  # noqa: E402,F401
 from tempel_spark.plans import testdata_queries_dedup  # noqa: E402,F401
+from tempel_spark.plans import testdata_queries_misc  # noqa: E402,F401

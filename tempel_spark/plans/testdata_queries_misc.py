@@ -1,0 +1,150 @@
+"""Remaining operator-family queries: redirect detection, whole-word
+containment, wiki-anchor mention extraction (native path), pairwise-F1
+metric arithmetic, array truncation — each with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tempel_spark.functions.text import detect_redirect, whole_word_contains
+from tempel_spark.plans.testdata_queries import register, t
+
+
+@register(
+    "q_redirect_detect",
+    r"""
+    SELECT doc_id,
+           coalesce(regexp_extract('#REDIRECT [[' || source || ']] ' || text,
+                                   '(?i)^\s*#\s*REDIRECT\s*\[\[(.*?)\]\]', 1), '') AS redirect_target
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q_redirect_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: `#REDIRECT [[Target]]` detection (s02_redirect_detector.py:
+    46-88); redirect pages synthesized from doc source names."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    page = F.concat(F.lit("#REDIRECT [["), F.col("source"), F.lit("]] "), F.col("text"))
+    return d.select("doc_id", detect_redirect(page).alias("redirect_target"))
+
+
+@register(
+    "q_whole_word_contains",
+    r"""
+    SELECT p_partkey,
+           regexp_matches(lower(p_name),
+                          '(^| )' || lower(split_part(p_type, ' ', 3)) || '( |,|$)') AS has_word
+    FROM part WHERE split_part(p_type, ' ', 3) <> ''
+    """,
+)
+def q_whole_word_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: whole-word containment (`one_string_in_another`,
+    s02_alias_table_generator.py:29-47) — does the part type's material
+    word appear as a whole word in the part name."""
+    p = t(spark, sf_dir, "part")
+    word = F.split_part(F.col("p_type"), F.lit(" "), F.lit(3))
+    return p.filter(word != "").select(
+        "p_partkey", whole_word_contains(F.lower(word), F.lower(F.col("p_name"))).alias("has_word")
+    )
+
+
+@register(
+    "q_mention_extract_wiki",
+    r"""
+    WITH marked AS (
+      SELECT doc_id,
+             'intro [[' || source || '|' || lang || ']] mid [[Topic ' || (doc_id % 5)::varchar || ']] end' AS wt
+      FROM documents)
+    SELECT split_part(anchor, '|', 1) AS target_raw,
+           CASE WHEN contains(anchor, '|') THEN split_part(anchor, '|', 2) ELSE anchor END AS mention_raw,
+           count(*) AS n
+    FROM (SELECT doc_id, unnest(regexp_extract_all(wt, '\[\[(.*?)\]\]', 1)) AS anchor FROM marked)
+    GROUP BY 1, 2
+    """,
+)
+def q_mention_extract_wiki(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 native path: `[[target|mention]]` anchors built onto the
+    documents rows, extracted with the library's explode pipeline
+    (extract_mentions_native semantics, s01:209-253) and aggregated."""
+    from tempel_spark.functions.mentions import extract_mentions_native
+
+    d = t(spark, sf_dir, "documents")
+    marked = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("intro [["), F.col("source"), F.lit("|"), F.col("lang"),
+            F.lit("]] mid [[Topic "), (F.col("doc_id") % 5).cast("string"), F.lit("]] end"),
+        ).alias("text"),
+    )
+    ext = extract_mentions_native(marked, "text")
+    return ext.groupBy("target_raw", "mention_raw").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_pairwise_f1",
+    """
+    WITH labeled AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS pred_cluster,
+             lang AS gold_label
+      FROM documents),
+    cont AS (SELECT pred_cluster, gold_label, count(*) AS n FROM labeled GROUP BY 1, 2),
+    tp AS (SELECT sum(n * (n - 1) / 2.0) AS tp FROM cont),
+    pp AS (SELECT sum(n * (n - 1) / 2.0) AS pred_pairs
+           FROM (SELECT pred_cluster, count(*) AS n FROM labeled GROUP BY 1)),
+    gp AS (SELECT sum(n * (n - 1) / 2.0) AS gold_pairs
+           FROM (SELECT gold_label, count(*) AS n FROM labeled GROUP BY 1))
+    SELECT round(tp, 4) AS tp, round(pred_pairs, 4) AS pred_pairs,
+           round(gold_pairs, 4) AS gold_pairs,
+           round(tp / pred_pairs, 6) AS precision,
+           round(tp / gold_pairs, 6) AS recall,
+           round(2 * (tp / pred_pairs) * (tp / gold_pairs)
+                 / ((tp / pred_pairs) + (tp / gold_pairs)), 6) AS f1
+    FROM tp, pp, gp
+    """,
+)
+def q_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE.json headline metric as an oracle-checked query:
+    pairwise P/R/F1 from contingency n-choose-2 arithmetic
+    (operators/metrics.pairwise_f1), with first-2-words blocks as the
+    'prediction' and lang as the 'gold'."""
+    from tempel_spark.operators.metrics import pairwise_f1
+
+    d = t(spark, sf_dir, "documents")
+    labeled = d.select(
+        F.col("doc_id").alias("node"),
+        F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias("component"),
+        F.col("lang").alias("gold_entity_id"),
+    )
+    out = pairwise_f1(
+        labeled.select("node", "component"),
+        labeled.select("node", "gold_entity_id"),
+    )
+    return out.select(
+        F.round("tp", 4).alias("tp"),
+        F.round("pred_pairs", 4).alias("pred_pairs"),
+        F.round("gold_pairs", 4).alias("gold_pairs"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+@register(
+    "q_array_truncate",
+    """
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS first_10_words,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_array_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: truncation to a token budget (reference context clipping,
+    s03:1220-1226) via native array slice."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 10), " ").alias("first_10_words"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
