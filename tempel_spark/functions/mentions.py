@@ -43,11 +43,13 @@ def extract_mentions_native(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     anchors = F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_RE), 1)
     out = df.withColumn("anchor", F.explode(anchors))
+    # F.get (not getItem): null for missing pipe part instead of an
+    # out-of-bounds error under ANSI mode
     return (
-        out.withColumn("target_raw", F.split(F.col("anchor"), r"\|").getItem(0))
+        out.withColumn("target_raw", F.get(F.split(F.col("anchor"), r"\|"), 0))
         .withColumn(
             "mention_raw",
-            F.coalesce(F.split(F.col("anchor"), r"\|").getItem(1), F.col("target_raw")),
+            F.coalesce(F.get(F.split(F.col("anchor"), r"\|"), 1), F.col("target_raw")),
         )
         .drop("anchor")
     )

@@ -148,3 +148,44 @@ def q_array_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 1, 10), " ").alias("first_10_words"),
         F.size(F.split("text", " ")).alias("n_words"),
     )
+
+
+@register(
+    "q_time_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation — the Structured-Streaming
+    window shape (F.window) run in batch; in streaming mode the same
+    plan takes a watermark for late data. The reference has no
+    streaming ops (SURVEY §2.10); this is the engine's added
+    capability."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (GROUPING SETS family) — beyond the
+    reference's pivots (A9), subtotals + grand total in one pass."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
