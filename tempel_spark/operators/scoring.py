@@ -115,23 +115,35 @@ def abbreviation_edges(
     text_a: str = "surface_a",
     text_b: str = "surface_b",
     prenormalized: bool = False,
+    freq_a: str | None = None,
+    freq_b: str | None = None,
 ) -> DataFrame:
     """Resolve single-token abbreviation pairs: each abbreviation
-    mention links to exactly its best-scoring full-form candidate
-    (rank-1 by score, deterministic tie-break) — the Spark analogue of
-    the reference's mention→entity resolution by prior_rank = 1
-    (s02_alias_table_generator.py:434-440). Returns (id_a, id_b)
-    edges to union into the clustering edge list."""
+    links to exactly one full-form candidate — ranked by the
+    candidate's mention FREQUENCY first (the alias-table prior:
+    prior_rank = 1 wins, s02_alias_table_generator.py:434-440), then
+    string score, then deterministic id tie-break. Pass freq_a/freq_b
+    (per-surface mention counts) to enable the prior; without them the
+    rank falls back to score-only. Returns (group…, id_a, id_b) edges
+    to union into the clustering edge list."""
     groups = group_cols or ["snapshot_ts"]
     if prenormalized:
         na, nb = F.col(text_a), F.col(text_b)
     else:
         na, nb = normalize_mention(text_a), normalize_mention(text_b)
+    a_is_src = F.size(F.split(na, " ")) <= F.size(F.split(nb, " "))
     cand = scored.filter(F.col("is_abbrev") & ~F.col("is_match")).withColumn(
-        "_src",
-        F.when(F.size(F.split(na, " ")) <= F.size(F.split(nb, " ")), F.col("id_a")).otherwise(F.col("id_b")),
+        "_src", F.when(a_is_src, F.col("id_a")).otherwise(F.col("id_b"))
     )
-    w = Window.partitionBy(*groups, "_src").orderBy(F.col("score").desc(), F.col("id_a"), F.col("id_b"))
+    order = []
+    if freq_a and freq_b:
+        # frequency of the FULL-FORM side (the candidate entity)
+        cand = cand.withColumn(
+            "_cand_freq", F.when(a_is_src, F.col(freq_b)).otherwise(F.col(freq_a))
+        )
+        order.append(F.col("_cand_freq").desc())
+    order += [F.col("score").desc(), F.col("id_a"), F.col("id_b")]
+    w = Window.partitionBy(*groups, "_src").orderBy(*order)
     return (
         cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -108,20 +108,24 @@ def run_pipeline(
     # downstream feature references the materialized `norm` column.
     # (Inlining it in the scorer would let CollapseProject re-execute
     # the regex chain ~20× per candidate pair.)
+    # n_mentions = the alias-table mention frequency (s02's
+    # count_mentions) — carried so ambiguity resolution can rank by
+    # prior like the reference (prior_rank = 1 wins, s02:434-440)
     surfaces = ck(
         "surfaces",
-        lambda: mentions.select("snapshot_ts", "surface").distinct()
+        lambda: mentions.groupBy("snapshot_ts", "surface")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
         .withColumn("norm", norm_key("surface")),
         cache=True,
     )
 
     def _blocks() -> DataFrame:
         exact = surfaces.select(
-            "snapshot_ts", "surface", "norm",
+            "snapshot_ts", "surface", "norm", "n_mentions",
             F.concat(F.lit("N:"), F.col("norm")).alias("block_key"),
         )
         lsh = lsh_band_blocks(surfaces, "norm", n_hashes=lsh_hashes, bands=lsh_bands, normalize=False).select(
-            "snapshot_ts", "surface", "norm",
+            "snapshot_ts", "surface", "norm", "n_mentions",
             F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
         )
         return exact.unionByName(lsh)
@@ -130,8 +134,8 @@ def run_pipeline(
 
     def _pairs() -> DataFrame:
         sym = candidate_pairs(
-            blocks, ["snapshot_ts", "block_key"], "surface", ["norm"], cap=pair_cap
-        ).select("snapshot_ts", "id_a", "id_b", "norm_a", "norm_b")
+            blocks, ["snapshot_ts", "block_key"], "surface", ["norm", "n_mentions"], cap=pair_cap
+        ).select("snapshot_ts", "id_a", "id_b", "norm_a", "norm_b", "n_mentions_a", "n_mentions_b")
 
         # first-token key links abbreviated surfaces ("Falcon" ↔
         # "Falcon Krypton Prairie"). This is the Zipf-hot key, so it is
@@ -144,10 +148,12 @@ def run_pipeline(
         ntok = F.size(F.split(F.col("norm"), " "))
         fkey = F.split(F.col("norm"), " ").getItem(0)
         abbr = surfaces.filter(ntok == 1).select(
-            "snapshot_ts", fkey.alias("fkey"), F.col("surface").alias("s1"), F.col("norm").alias("n1")
+            "snapshot_ts", fkey.alias("fkey"), F.col("surface").alias("s1"),
+            F.col("norm").alias("n1"), F.col("n_mentions").alias("c1"),
         )
         full = surfaces.filter(ntok >= 2).select(
-            "snapshot_ts", fkey.alias("fkey"), F.col("surface").alias("s2"), F.col("norm").alias("n2")
+            "snapshot_ts", fkey.alias("fkey"), F.col("surface").alias("s2"),
+            F.col("norm").alias("n2"), F.col("n_mentions").alias("c2"),
         )
         lt = F.col("s1") < F.col("s2")
         bip = abbr.join(full, ["snapshot_ts", "fkey"]).select(
@@ -156,6 +162,8 @@ def run_pipeline(
             F.when(lt, F.col("s2")).otherwise(F.col("s1")).alias("id_b"),
             F.when(lt, F.col("n1")).otherwise(F.col("n2")).alias("norm_a"),
             F.when(lt, F.col("n2")).otherwise(F.col("n1")).alias("norm_b"),
+            F.when(lt, F.col("c1")).otherwise(F.col("c2")).alias("n_mentions_a"),
+            F.when(lt, F.col("c2")).otherwise(F.col("c1")).alias("n_mentions_b"),
         )
         return sym.unionByName(bip).dropDuplicates(["snapshot_ts", "id_a", "id_b"])
 
@@ -169,7 +177,10 @@ def run_pipeline(
 
     def _components() -> DataFrame:
         edges = scored.filter(F.col("is_match")).select("snapshot_ts", "id_a", "id_b").unionByName(
-            abbreviation_edges(scored, text_a="norm_a", text_b="norm_b", prenormalized=True)
+            abbreviation_edges(
+                scored, text_a="norm_a", text_b="norm_b", prenormalized=True,
+                freq_a="n_mentions_a", freq_b="n_mentions_b",
+            )
         )
         # snapshot-scoped node ids keep one global CC run from ever
         # merging clusters across snapshots (ids never collide).

@@ -137,6 +137,9 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
             mentions.append((snap, f"{conv_id}:{turn_idx}:{s}", m))
 
     surfaces = sorted({(snap, surf) for snap, _mid, surf in mentions})
+    freq: dict[tuple, int] = defaultdict(int)
+    for snap, _mid, surf in mentions:
+        freq[(snap, surf)] += 1
 
     # blocking: exact norm + minhash bands (self-join blocks) plus the
     # BIPARTITE first-token block (single-token abbreviations × multi-
@@ -184,12 +187,15 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
         if must or score >= SCORE_THRESHOLD:
             uf.union((snap, sa), (snap, sb))
         elif is_abbrev:
-            src = sa if len(ta) <= len(tb) else sb
+            # rank candidates by full-form mention frequency (the
+            # alias-table prior), then score, then ids — mirrors
+            # abbreviation_edges(freq_a/freq_b)
+            src, full = (sa, sb) if len(ta) <= len(tb) else (sb, sa)
             key = (snap, src)
-            cand = (-score, sa, sb)
+            cand = (-freq[(snap, full)], -score, sa, sb)
             if key not in abbrev_best or cand < abbrev_best[key]:
                 abbrev_best[key] = cand
-    for (snap, _src), (_s, sa, sb) in abbrev_best.items():
+    for (snap, _src), (_f, _s, sa, sb) in abbrev_best.items():
         uf.union((snap, sa), (snap, sb))
 
     return {f"{snap}@{mid}": uf.find((snap, surf))[1] for snap, mid, surf in mentions}
