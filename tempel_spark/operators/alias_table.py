@@ -54,27 +54,38 @@ def build_alias_table(
 
     w_mention = Window.partitionBy("snapshot_ts", "mention_norm")
     w_entity = Window.partitionBy("snapshot_ts", "entity_id")
-    w_snap = Window.partitionBy("snapshot_ts")
 
+    # Windows are grouped BY PARTITION SPEC — all (snapshot, mention)
+    # windows first, then all (snapshot, entity) ones. Interleaving
+    # them makes Catalyst re-shuffle on every alternation (4 exchanges
+    # instead of 2 for the same result).
     out = (
         g
+        # -- (snapshot, mention) partitioning --------------------------
         # J4/A3 as window: per-mention total (reference count_mentions, s02:365-378)
         .withColumn("count_mentions", F.sum("nr_links").over(w_mention))
         # A10: prior = nr_links / count_mentions (s02:384-385)
         .withColumn("prior", (F.col("nr_links") / F.col("count_mentions")).cast("double"))
-        # W1/W2: dense prior ranks (s02:434-440)
-        .withColumn("prior_rank", F.dense_rank().over(w_entity.orderBy(F.col("prior").desc())))
+        # W2: dense rank within mention (s02:439-440)
         .withColumn("prior_rank_men", F.dense_rank().over(w_mention.orderBy(F.col("prior").desc())))
-        # per-entity aggregates (s02:479-499) as windows
+        # -- (snapshot, entity) partitioning ---------------------------
+        # W1: dense rank within entity (s02:434-435)
+        .withColumn("prior_rank", F.dense_rank().over(w_entity.orderBy(F.col("prior").desc())))
+        # per-entity aggregates (s02:479-499)
         .withColumn("nr_inlinks", F.sum("nr_links").over(w_entity))
         .withColumn("avg_prior", F.avg("prior").over(w_entity).cast("double"))
         .withColumn("avg_prior_rank", F.avg("prior_rank").over(w_entity).cast("double"))
-        # entity_prior = nr_inlinks / all inlinks in snapshot (s02:503-504)
-        .withColumn(
-            "entity_prior",
-            (F.col("nr_inlinks") / F.sum("nr_links").over(w_snap)).cast("double"),
-        )
     )
+
+    # entity_prior = nr_inlinks / all inlinks in snapshot (s02:503-504).
+    # NOT a window: Window.partitionBy(snapshot_ts) would force the
+    # whole table onto #snapshots partitions (≈10 in the reference) —
+    # a parallelism collapse at scale. The A7 two-phase pattern
+    # instead: a snapshot-count-sized aggregate, broadcast back.
+    snap_totals = g.groupBy("snapshot_ts").agg(F.sum("nr_links").alias("_snap_links"))
+    out = out.join(F.broadcast(snap_totals), "snapshot_ts").withColumn(
+        "entity_prior", (F.col("nr_inlinks") / F.col("_snap_links")).cast("double")
+    ).drop("_snap_links")
 
     if entities is not None:
         dim = entities.select(

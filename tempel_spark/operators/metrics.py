@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pairwise_f1", "acc_at_k", "DEFAULT_KS"]
+__all__ = ["pairwise_f1", "eval_labeled_pairs", "cluster_canonical_names", "acc_at_k", "DEFAULT_KS"]
 
 DEFAULT_KS = [1, 2, 4, 8, 16, 32, 64]
 
@@ -66,6 +66,69 @@ def pairwise_f1(
             (F.col("precision") + F.col("recall")) > 0,
             2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
         ).otherwise(F.lit(0.0)),
+    )
+
+
+def eval_labeled_pairs(
+    components: DataFrame,
+    labeled_pairs: DataFrame,
+    node_col: str = "mention_id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """BASELINE.json headline check, on its own terms: labeled pairs
+    (snapshot_ts, mention_id_a, mention_id_b, same_entity boolean)
+    scored against predicted components. Two broadcast-joinable lookups
+    of the (small) component table; returns per-snapshot
+    tp/fp/fn/tn + precision/recall/f1 over the LABELED pairs."""
+    ca = components.select(
+        "snapshot_ts",
+        F.col(node_col).alias("mention_id_a"),
+        F.col(comp_col).alias("_comp_a"),
+    )
+    cb = components.select(
+        "snapshot_ts",
+        F.col(node_col).alias("mention_id_b"),
+        F.col(comp_col).alias("_comp_b"),
+    )
+    j = (
+        labeled_pairs.join(ca, ["snapshot_ts", "mention_id_a"])
+        .join(cb, ["snapshot_ts", "mention_id_b"])
+        .withColumn("_pred", F.col("_comp_a") == F.col("_comp_b"))
+    )
+    agg = j.groupBy("snapshot_ts").agg(
+        F.sum((F.col("_pred") & F.col("same_entity")).cast("long")).alias("tp"),
+        F.sum((F.col("_pred") & ~F.col("same_entity")).cast("long")).alias("fp"),
+        F.sum((~F.col("_pred") & F.col("same_entity")).cast("long")).alias("fn"),
+        F.sum((~F.col("_pred") & ~F.col("same_entity")).cast("long")).alias("tn"),
+    )
+    p = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(1.0))
+    r = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(1.0))
+    return agg.withColumn("precision", p).withColumn("recall", r).withColumn(
+        "f1",
+        F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)),
+    )
+
+
+def cluster_canonical_names(
+    surface_components: DataFrame,
+    surfaces: DataFrame,
+) -> DataFrame:
+    """Per (snapshot, component): the canonical entity name = most
+    frequent member surface (ties → longest, then lexicographic) —
+    the alias-table prior picking the display form. Output:
+    (snapshot_ts, component, canonical_name, n_surfaces, n_mentions)."""
+    j = surface_components.join(surfaces, ["snapshot_ts", "surface"])
+    w = Window.partitionBy("snapshot_ts", "component").orderBy(
+        F.col("n_mentions").desc(), F.length("surface").desc(), F.col("surface")
+    )
+    ranked = j.withColumn("_rn", F.row_number().over(w))
+    stats = j.groupBy("snapshot_ts", "component").agg(
+        F.count(F.lit(1)).alias("n_surfaces"), F.sum("n_mentions").alias("n_mentions")
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select("snapshot_ts", "component", F.col("surface").alias("canonical_name"))
+        .join(stats, ["snapshot_ts", "component"])
     )
 
 
