@@ -88,11 +88,20 @@ def connected_components(
     checkpoint_every: int = 1,
     durable_checkpoint=None,
     shuffle_partitions: int | None = None,
+    resume_state: DataFrame | None = None,
 ) -> CCResult:
     """edges: undirected pair list. nodes: optional full node universe
     (id column named like ``id_a``) so singletons get their own
     component. durable_checkpoint: optional fn(df, iteration) -> df
     that persists and re-reads (catalog-backed) for resumability.
+
+    resume_state: a previously durable-checkpointed edge state (a, b)
+    to warm-start from. Large-star/small-star is monotone toward its
+    star-forest fixed point and preserves connectivity, so restarting
+    from ANY intermediate state reaches the identical final
+    components — that is what makes the per-iteration durable
+    checkpoint a true mid-clustering resume (north_rule: "checkpoints
+    … component state per stage … resumable mid-run").
 
     shuffle_partitions: per-iteration shuffle width. The loop runs
     ~4 shuffles × O(log n) iterations over a graph that SHRINKS every
@@ -105,17 +114,20 @@ def connected_components(
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        return _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint)
+        return _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint, resume_state)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
-def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint) -> CCResult:
-    e = (
-        edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint, resume_state=None) -> CCResult:
+    if resume_state is not None:
+        e = resume_state.select("a", "b")
+    else:
+        e = (
+            edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
     e = e.localCheckpoint(eager=True)
     prev_sig = _signature(e)
     history: list[dict] = []

@@ -124,11 +124,18 @@ def run_pipeline(
             "snapshot_ts", "surface", "norm", "n_mentions",
             F.concat(F.lit("N:"), F.col("norm")).alias("block_key"),
         )
+        # order-insensitive token signature: catches token swaps
+        # ("Ember Granite" ↔ "Granite Ember") the exact key misses
+        sorted_key = F.array_join(F.array_sort(F.array_distinct(F.split(F.col("norm"), " "))), " ")
+        stoken = surfaces.select(
+            "snapshot_ts", "surface", "norm", "n_mentions",
+            F.concat(F.lit("S:"), sorted_key).alias("block_key"),
+        )
         lsh = lsh_band_blocks(surfaces, "norm", n_hashes=lsh_hashes, bands=lsh_bands, normalize=False).select(
             "snapshot_ts", "surface", "norm", "n_mentions",
             F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
         )
-        return exact.unionByName(lsh)
+        return exact.unionByName(stoken).unionByName(lsh)
 
     blocks = ck("blocks", _blocks, cache=True)
 
@@ -191,9 +198,24 @@ def run_pipeline(
         nodes = surfaces.select(
             F.concat_ws(_SEP, F.col("snapshot_ts").cast("string"), "surface").alias("node")
         )
+        # mid-clustering resumability: every iteration's edge state is
+        # durably published; a rerun warm-starts from the latest state
+        # (star ops are monotone → identical fixed point)
+        durable = None
+        resume_state = None
+        if catalog is not None:
+            if catalog.exists("cc_edges"):
+                resume_state = catalog.read("cc_edges")
+
+            def durable(df, it):  # noqa: ANN001
+                return catalog.write(df, "cc_edges")
+
         # vocabulary-scale graph: size the CC shuffle to the edge
         # list, not to the corpus-wide session default
-        res = connected_components(e, nodes=nodes, shuffle_partitions=16)
+        res = connected_components(
+            e, nodes=nodes, shuffle_partitions=16,
+            durable_checkpoint=durable, resume_state=resume_state,
+        )
         if catalog is not None:
             catalog.log_metrics(
                 "clustering",

@@ -149,6 +149,7 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
     for snap, surf in surfaces:
         n = normalize(surf)
         blocks[(snap, "N:" + n)].append(surf)
+        blocks[(snap, "S:" + " ".join(sorted(set(n.split(" ")))))].append(surf)
         toks = n.split(" ")
         if len(toks) == 1:
             fblocks[(snap, toks[0])][0].append(surf)
