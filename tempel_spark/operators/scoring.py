@@ -74,20 +74,29 @@ def score_pairs(
         .withColumn("jaccard", jac)
         .withColumn("jaro_winkler", jw)
     )
+    string_score = (
+        0.45 * F.col("jaro_winkler")
+        + 0.30 * (1.0 - F.col("ratio_edit_distance"))
+        + 0.25 * F.col("jaccard")
+    )
     if emb_a and emb_b:
-        out = out.withColumn("cosine", cosine_sim(emb_a, emb_b))
-        score = (
+        out = out.withColumn(
+            "cosine",
+            F.when(
+                F.col(emb_a).isNotNull() & F.col(emb_b).isNotNull(), cosine_sim(emb_a, emb_b)
+            ),
+        )
+        emb_score = (
             0.35 * F.col("jaro_winkler")
             + 0.25 * (1.0 - F.col("ratio_edit_distance"))
             + 0.20 * F.col("jaccard")
             + 0.20 * F.col("cosine")
         )
+        # pairs with a missing cached embedding fall back to the
+        # string-only score instead of poisoning the decision with null
+        score = F.when(F.col("cosine").isNotNull(), emb_score).otherwise(string_score)
     else:
-        score = (
-            0.45 * F.col("jaro_winkler")
-            + 0.30 * (1.0 - F.col("ratio_edit_distance"))
-            + 0.25 * F.col("jaccard")
-        )
+        score = string_score
 
     ta, tb = F.split(na, " "), F.split(nb, " ")
     subset = (F.size(F.array_except(ta, tb)) == 0) | (F.size(F.array_except(tb, ta)) == 0)

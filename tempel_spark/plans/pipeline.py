@@ -84,12 +84,20 @@ def run_pipeline(
     lsh_hashes: int = 6,
     lsh_bands: int = 3,
     force: bool = False,
+    embeddings: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full flow. Returns the stage DataFrames.
 
     gold: optional (mention_id, gold_entity_id) for evaluation —
     in tests it comes from the synthesizer's hidden labels; in the
     TempEL-parity check it is the labeled anchor→entity pairs.
+
+    embeddings: optional cached surface embeddings
+    (snapshot_ts, surface, embedding array<float>) — the reference's
+    s05 entity-encoding tables. When given, scoring adds the cosine
+    feature (score reweighted, see score_pairs). The embedding table
+    is vocabulary-sized → broadcast onto the pair sides, no shuffle
+    of the pair table.
     """
     snaps = snapshots or yearly_snapshots(2013, 4)
 
@@ -176,11 +184,23 @@ def run_pipeline(
 
     pairs = ck("pairs", _pairs, cache=True)
 
-    scored = ck(
-        "scored",
-        lambda: score_pairs(pairs, "norm_a", "norm_b", threshold=threshold, prenormalized=True),
-        cache=True,
-    )
+    def _scored() -> DataFrame:
+        p = pairs
+        emb_kw: dict = {}
+        if embeddings is not None:
+            ea = embeddings.select(
+                "snapshot_ts", F.col("surface").alias("id_a"), F.col("embedding").alias("emb_a")
+            )
+            eb = embeddings.select(
+                "snapshot_ts", F.col("surface").alias("id_b"), F.col("embedding").alias("emb_b")
+            )
+            p = p.join(F.broadcast(ea), ["snapshot_ts", "id_a"], "left").join(
+                F.broadcast(eb), ["snapshot_ts", "id_b"], "left"
+            )
+            emb_kw = {"emb_a": "emb_a", "emb_b": "emb_b"}
+        return score_pairs(p, "norm_a", "norm_b", threshold=threshold, prenormalized=True, **emb_kw)
+
+    scored = ck("scored", _scored, cache=True)
 
     def _components() -> DataFrame:
         edges = scored.filter(F.col("is_match")).select("snapshot_ts", "id_a", "id_b").unionByName(
