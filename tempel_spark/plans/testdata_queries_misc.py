@@ -189,3 +189,54 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
     )
+
+
+@register(
+    "q_er_scored_pairs",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(translate(substr(text, 1, 30), '_', ' ')), ' +', ' ', 'g')) AS norm,
+             array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS block_key
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.norm AS na, b.norm AS nb
+      FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(levenshtein(na, nb)::double / greatest(length(na), length(nb), 1), 6) AS ratio_edit_distance,
+           round(len(list_intersect(string_split(na, ' '), string_split(nb, ' ')))::double
+                 / greatest(len(list_distinct(list_concat(string_split(na, ' '), string_split(nb, ' ')))), 1), 6) AS jaccard,
+           round(jaro_winkler_similarity(na, nb), 6) AS jaro_winkler,
+           round(0.45 * jaro_winkler_similarity(na, nb)
+                 + 0.30 * (1 - levenshtein(na, nb)::double / greatest(length(na), length(nb), 1))
+                 + 0.25 * len(list_intersect(string_split(na, ' '), string_split(nb, ' ')))::double
+                        / greatest(len(list_distinct(list_concat(string_split(na, ' '), string_split(nb, ' ')))), 1), 6) AS score
+    FROM pairs
+    """,
+)
+def q_er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pairwise scorer oracle-checked — Jaro-Winkler (Arrow
+    pandas UDF) + levenshtein ratio + token jaccard + the weighted
+    score, value-matched against DuckDB's jaro_winkler_similarity on
+    blocked document pairs. This pins the scoring stage of the ER
+    pipeline (Phase 3) to an independent implementation."""
+    from tempel_spark.functions.text import normalize_mention
+    from tempel_spark.operators.scoring import score_pairs
+
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        normalize_mention(F.substring("text", 1, 30)).alias("norm"),
+        F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias("block_key"),
+    )
+    a = keyed.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a"), "block_key")
+    b = keyed.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"), "block_key")
+    pairs = a.join(b, "block_key").filter(F.col("id_a") < F.col("id_b"))
+    scored = score_pairs(pairs, "norm_a", "norm_b", prenormalized=True)
+    return scored.select(
+        "id_a", "id_b",
+        F.round("ratio_edit_distance", 6).alias("ratio_edit_distance"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("jaro_winkler", 6).alias("jaro_winkler"),
+        F.round("score", 6).alias("score"),
+    )
