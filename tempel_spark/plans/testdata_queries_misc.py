@@ -240,3 +240,42 @@ def q_er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaro_winkler", 6).alias("jaro_winkler"),
         F.round("score", 6).alias("score"),
     )
+
+
+@register(
+    "q_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+      FROM g)
+    SELECT user_id, CAST(session_n AS BIGINT) AS session_n, count(*) AS n_events
+    FROM s GROUP BY user_id, session_n
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    of session starts — the batch twin of a stateful streaming
+    session-window operator. Groups events per (user, session)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("_ns", new_sess)
+        .withColumn("session_n", F.sum("_ns").over(wc))
+        .groupBy("user_id", "session_n")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
