@@ -16,7 +16,8 @@
       │   and turns an O(occurrences²) candidate space into
       │   O(vocabulary²-within-blocks).
       ▼
-  blocking keys: normalized surface + first-token + MinHash-LSH bands
+  blocking keys: normalized surface + sorted-token signature +
+      MinHash-LSH bands + bipartite first-token (abbr × full)
       ▼
   candidate surface pairs (within (snapshot_ts, block_key), capped)
       ▼
