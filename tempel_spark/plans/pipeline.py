@@ -100,7 +100,9 @@ def run_pipeline(
     is vocabulary-sized → broadcast onto the pair sides, no shuffle
     of the pair table.
     """
-    snaps = snapshots or yearly_snapshots(2013, 4)
+    # default = the reference's 10 yearly cuts 2013-2022
+    # (s01_config_content.json:29-40)
+    snaps = snapshots or yearly_snapshots(2013, 10)
 
     def ck(name: str, compute, partition_by=("snapshot_ts",), cache=False) -> DataFrame:
         if catalog is None:
