@@ -279,3 +279,86 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_n")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "q_keyword_typing",
+    """
+    SELECT CASE
+             WHEN regexp_matches(p_name, '(red|crimson|rose)') THEN 'REDDISH'
+             WHEN regexp_matches(p_name, '(blue|navy|azure)') THEN 'BLUISH'
+             WHEN length(p_name) > 30 THEN 'LONG_NAME'
+             ELSE 'OTHER'
+           END AS part_kind,
+           count(*) AS n,
+           round(avg(p_retailprice), 6) AS avg_price
+    FROM part GROUP BY 1
+    """,
+)
+def q_keyword_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: keyword/heuristic type classification (reference
+    recurring/covid title typing, s07_analyze_results_specific_year_v2
+    .py:413-440) as a when-chain over regex hits."""
+    p = t(spark, sf_dir, "part")
+    kind = (
+        F.when(F.col("p_name").rlike("(red|crimson|rose)"), "REDDISH")
+        .when(F.col("p_name").rlike("(blue|navy|azure)"), "BLUISH")
+        .when(F.length("p_name") > 30, "LONG_NAME")
+        .otherwise("OTHER")
+    )
+    return p.groupBy(kind.alias("part_kind")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("p_retailprice"), 6).alias("avg_price")
+    )
+
+
+@register(
+    "q_nunique_per_target",
+    """
+    SELECT o_custkey AS entity_id,
+           count(DISTINCT o_orderpriority) AS n_distinct_mentions,
+           count(DISTINCT year(o_orderdate)) AS n_distinct_years
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_nunique_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: nunique of mentions/subsets per target entity
+    (s03:189-194,326-327) — multi-distinct in one aggregate."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("entity_id")).agg(
+        F.countDistinct("o_orderpriority").alias("n_distinct_mentions"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_distinct_years"),
+    )
+
+
+@register(
+    "q_salted_hot_blocks",
+    """
+    WITH sized AS (
+      SELECT event_type, event_id,
+             count(*) OVER (PARTITION BY event_type) AS block_size
+      FROM events)
+    SELECT CASE WHEN block_size > 500
+                THEN event_type || '#' ||
+                     (('0x' || substr(md5('salt:' || event_id::varchar), 1, 15))::bigint % 8)::varchar
+                ELSE event_type END AS salted_key,
+           count(*) AS n
+    FROM sized GROUP BY 1
+    """,
+)
+def q_salted_hot_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salting census (north_rule skew lever, SURVEY §4 item 1):
+    keys above the hot threshold fan out into 8 salted sub-keys via an
+    md5-derived deterministic salt; cold keys pass through."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    sized = e.withColumn("block_size", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("salt:"), F.col("event_id").cast("string"))), 1, 15), 16, 10).cast("bigint"),
+        F.lit(8),
+    )
+    key = F.when(
+        F.col("block_size") > 500,
+        F.concat(F.col("event_type"), F.lit("#"), salt.cast("string")),
+    ).otherwise(F.col("event_type"))
+    return sized.groupBy(key.alias("salted_key")).agg(F.count(F.lit(1)).alias("n"))
