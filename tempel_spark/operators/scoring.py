@@ -102,17 +102,22 @@ def score_pairs(
     subset = (F.size(F.array_except(ta, tb)) == 0) | (F.size(F.array_except(tb, ta)) == 0)
     n_small = F.least(F.size(ta), F.size(tb))
 
-    # multi-token subset ("yonder onyx" ⊂ "yonder onyx alpha") is
-    # unambiguous → must-link; a single shared token ("falcon") is the
-    # ambiguous-abbreviation case the reference resolves by prior rank
-    # (alias table, s02:434-440) — flagged here, resolved to its top-1
-    # candidate by abbreviation_edges().
+    # multi-token must-link requires a token-boundary PREFIX
+    # ("yonder onyx" + ' ' prefixes "yonder onyx alpha"), NOT a mere
+    # token-set subset: subsets over-merge distinct entities that share
+    # a token multiset ({juniper, raven} ⊂ {juniper, raven, willow};
+    # "meridian meridian" ⊆ "meridian prairie" after distinct) — found
+    # as the dominant precision loss in cluster audits. A single shared
+    # token ("falcon") is the ambiguous-abbreviation case the
+    # reference resolves by prior rank (alias table, s02:434-440) —
+    # flagged here, resolved to its top-1 candidate by
+    # abbreviation_edges().
+    prefix_ml = (
+        nb.startswith(F.concat(na, F.lit(" "))) | na.startswith(F.concat(nb, F.lit(" ")))
+    ) & (n_small >= 2)
     return (
         out.withColumn("score", score.cast("double"))
-        .withColumn(
-            "must_link",
-            (F.col("ratio_edit_distance") < MUST_LINK_RATIO) | (subset & (n_small >= 2)),
-        )
+        .withColumn("must_link", (F.col("ratio_edit_distance") < MUST_LINK_RATIO) | prefix_ml)
         .withColumn("is_abbrev", subset & (n_small == 1) & (F.col("ratio_edit_distance") >= MUST_LINK_RATIO))
         .withColumn("is_match", F.col("must_link") | (F.col("score") >= threshold))
     )

@@ -183,7 +183,8 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
         ta, tb = na.split(" "), nb.split(" ")
         subset = not (set(ta) - set(tb)) or not (set(tb) - set(ta))
         n_small = min(len(ta), len(tb))
-        must = lr < MUST_LINK_RATIO or (subset and n_small >= 2)
+        prefix_ml = (nb.startswith(na + " ") or na.startswith(nb + " ")) and n_small >= 2
+        must = lr < MUST_LINK_RATIO or prefix_ml
         is_abbrev = subset and n_small == 1 and lr >= MUST_LINK_RATIO
         if must or score >= SCORE_THRESHOLD:
             uf.union((snap, sa), (snap, sb))
