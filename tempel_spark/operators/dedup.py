@@ -33,13 +33,38 @@ __all__ = [
 ]
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(content_hash, keep_id, n_copies, all_ids) — one map-side-
-    combinable groupBy; the representative is min(id) (deterministic)."""
-    return df.groupBy(F.md5(normalize_mention(text_col)).alias("content_hash")).agg(
-        F.min(id_col).alias("keep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-        F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, max_ids: int = 0) -> DataFrame:
+    """(content_hash, keep_id, n_copies[, sample_ids]) — one map-side-
+    combinable groupBy; the representative is min(id) (deterministic).
+
+    The member-id list is OFF by default (max_ids=0): a mega-
+    duplicated document (boilerplate at 10^9 copies in a web corpus)
+    would otherwise materialize a 10^9-element array on one reducer.
+    min/count stay partially aggregable, so the default plan never
+    builds a per-key buffer at all. With max_ids>0 a window
+    row_number caps membership BEFORE collect_list (the window and
+    the groupBy share the content_hash partitioning — one shuffle),
+    so the output row and the aggregation buffer are both bounded;
+    callers needing every id should join df back on content_hash."""
+    hashed = df.select(
+        F.col(id_col), F.md5(normalize_mention(text_col)).alias("content_hash")
+    )
+    if max_ids <= 0:
+        return hashed.groupBy("content_hash").agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col(id_col)))
+            ).alias("sample_ids"),
+        )
     )
 
 

@@ -197,8 +197,14 @@ def run_pipeline(
             eb = embeddings.select(
                 "snapshot_ts", F.col("surface").alias("id_b"), F.col("embedding").alias("emb_b")
             )
-            p = p.join(F.broadcast(ea), ["snapshot_ts", "id_a"], "left").join(
-                F.broadcast(eb), ["snapshot_ts", "id_b"], "left"
+            # join strategy is deliberately left to Catalyst/AQE: at
+            # reference scale the embedding table is TBs (BASELINE.md
+            # — 2.2 TB of 1024-d fp32), far past any broadcast
+            # threshold, so an unconditional F.broadcast here would
+            # OOM the driver; when one snapshot's vocabulary IS small,
+            # AQE converts the shuffle join to broadcast at runtime.
+            p = p.join(ea, ["snapshot_ts", "id_a"], "left").join(
+                eb, ["snapshot_ts", "id_b"], "left"
             )
             emb_kw = {"emb_a": "emb_a", "emb_b": "emb_b"}
         return score_pairs(p, "norm_a", "norm_b", threshold=threshold, prenormalized=True, **emb_kw)
@@ -223,15 +229,30 @@ def run_pipeline(
         )
         # mid-clustering resumability: every iteration's edge state is
         # durably published; a rerun warm-starts from the latest state
-        # (star ops are monotone → identical fixed point)
+        # (star ops are monotone → identical fixed point). The warm
+        # start is gated on a fingerprint of the CURRENT edge input —
+        # if upstream stages recomputed (force=True, new threshold,
+        # changed inputs) the old cc_edges state describes a different
+        # graph and silently resuming from it would cluster stale
+        # edges; mismatch ⇒ delete and start cold.
         durable = None
         resume_state = None
         if catalog is not None:
+            fp_row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.expr("bit_xor(xxhash64(id_a, id_b))"), F.lit(0)).alias("h"),
+            ).collect()[0]
+            edge_fp = {"edges_n": int(fp_row["n"]), "edges_hash": int(fp_row["h"])}
             if catalog.exists("cc_edges"):
-                resume_state = catalog.read("cc_edges")
+                if not force and catalog.get_meta("cc_edges") == edge_fp:
+                    resume_state = catalog.read("cc_edges")
+                else:
+                    catalog.delete("cc_edges")
 
             def durable(df, it):  # noqa: ANN001
-                return catalog.write(df, "cc_edges")
+                out = catalog.write(df, "cc_edges")
+                catalog.put_meta("cc_edges", edge_fp)
+                return out
 
         # vocabulary-scale graph: size the CC shuffle to the edge
         # list, not to the corpus-wide session default

@@ -475,8 +475,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_distribution_cumsum",
     """
     SELECT n_orders, n_customers,
-           sum(n_customers) OVER (ORDER BY n_orders
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_customers
+           CAST(sum(n_customers) OVER (ORDER BY n_orders
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_customers
     FROM (SELECT n_orders, count(*) AS n_customers
           FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
           GROUP BY n_orders)

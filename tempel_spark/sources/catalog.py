@@ -89,6 +89,32 @@ class Catalog:
             return self.spark.table(f"ckpt_{name}")
         return self.spark.read.parquet(self.path(name))
 
+    def delete(self, name: str) -> None:
+        """Drop a published stage table (used to invalidate stale
+        incremental state, e.g. cc_edges whose edge input changed)."""
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS ckpt_{name}")
+        else:
+            final = self.path(name)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+        meta = f"{self.base}/_meta_{name}.json"
+        if os.path.exists(meta):
+            os.remove(meta)
+        self._journal(name, deleted=True)
+
+    # -- sidecar metadata (stage fingerprints) -----------------------------
+    def put_meta(self, name: str, meta: dict) -> None:
+        with open(f"{self.base}/_meta_{name}.json", "w") as fh:
+            json.dump(meta, fh)
+
+    def get_meta(self, name: str) -> dict | None:
+        p = f"{self.base}/_meta_{name}.json"
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
     def read_or_compute(self, name: str, compute, partition_by: tuple[str, ...] = (), force: bool = False) -> DataFrame:
         """Resume-from-checkpoint: the idempotent-stage pattern. A
         rerun after failure skips every published stage."""

@@ -29,18 +29,29 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(df: pd.DataFrame) -> list[tuple]:
+    """Driver-aligned canonical rows.
+
+    Calibrated against CORRECTNESS_r01: the driver's value hash is
+    int-vs-float sensitive (DuckDB HUGEINT -> pandas float64 made
+    q_distribution_cumsum fail while values were numerically equal)
+    but NOT integer-width sensitive (Spark int32 F.size vs DuckDB
+    BIGINT len() passed in q_token_count_regex). So floats carry an
+    'f:' tag — an integral float never equals the same-valued int.
+    """
+    import numpy as np
+
     df = df[sorted(df.columns)]
     rows = []
     for tup in df.itertuples(index=False):
         row = []
         for v in tup:
-            if isinstance(v, float):
+            if isinstance(v, (float, np.floating)):
                 if math.isnan(v):
-                    row.append("NaN")
+                    row.append("f:NaN")
                 elif v == 0:
-                    row.append("0")
+                    row.append("f:0")
                 else:
-                    row.append(f"{v:.9g}")
+                    row.append(f"f:{v:.9g}")
             elif v is None or v is pd.NaT:
                 row.append("NULL")
             else:

@@ -46,3 +46,50 @@ def test_pipeline_cc_durable_checkpoint(spark):
         # a rerun (components checkpoint present) returns identical output
         r2 = run_pipeline(spark, t, catalog=cat, snapshots=snaps)
         assert sorted(map(tuple, r2["components"].collect())) == comp1
+
+def test_pipeline_cc_force_rerun_ignores_stale_edges(spark):
+    """ADVICE r1 (high): a force=True rerun with a changed threshold
+    must NOT warm-start CC from the previous run's cc_edges — the old
+    state describes a different match graph. The fingerprint gate
+    invalidates it; the rerun must equal a fresh run at the new
+    threshold."""
+    from tempel_spark.plans.pipeline import run_pipeline
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.synth import synth_transcripts
+
+    snaps = [f"{y}-01-01 00:00:00" for y in (2013, 2014)]
+    t = synth_transcripts(spark, n_convs=25)
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="ccstale_") as tmp:
+        cat = Catalog(spark, tmp)
+        run_pipeline(spark, t, catalog=cat, snapshots=snaps, threshold=0.75)
+        assert cat.exists("cc_edges")
+        # tighten the threshold drastically → far fewer match edges.
+        # force recompute; resume state must be discarded, not reused.
+        r_strict = run_pipeline(
+            spark, t, catalog=cat, snapshots=snaps, threshold=0.999, force=True
+        )
+        cols = ["snapshot_ts", "surface", "component"]
+        strict = sorted(map(tuple, r_strict["surface_components"].select(*cols).collect()))
+        fresh = run_pipeline(spark, t, snapshots=snaps, threshold=0.999)
+        expected = sorted(map(tuple, fresh["surface_components"].select(*cols).collect()))
+        assert strict == expected
+
+
+def test_cc_edges_fingerprint_gates_warm_start(spark):
+    """Same inputs → warm start allowed; changed edge input with a
+    surviving cc_edges checkpoint → cold start (stale state deleted)."""
+    import tempfile
+
+    from tempel_spark.sources.catalog import Catalog
+
+    with tempfile.TemporaryDirectory(prefix="ccfp_") as tmp:
+        cat = Catalog(spark, tmp)
+        df = spark.createDataFrame([("a", "b")], "a string, b string")
+        cat.write(df, "cc_edges")
+        cat.put_meta("cc_edges", {"edges_n": 1, "edges_hash": 123})
+        assert cat.get_meta("cc_edges") == {"edges_n": 1, "edges_hash": 123}
+        cat.delete("cc_edges")
+        assert not cat.exists("cc_edges")
+        assert cat.get_meta("cc_edges") is None

@@ -16,9 +16,24 @@ def test_exact_dedup(spark):
         [(1, "Hello World"), (2, "hello  world"), (3, "other text"), (4, "hello_world")],
         "id long, text string",
     )
-    got = {r.keep_id: (r.n_copies, list(r.all_ids)) for r in exact_dedup(df, "id", "text").collect()}
+    # default output: no id list (skew-safe, map-side combinable)
+    slim = {r.keep_id: r.n_copies for r in exact_dedup(df, "id", "text").collect()}
+    assert slim == {1: 3, 3: 1}
+    assert "sample_ids" not in exact_dedup(df, "id", "text").columns
+
+    got = {
+        r.keep_id: (r.n_copies, list(r.sample_ids))
+        for r in exact_dedup(df, "id", "text", max_ids=10).collect()
+    }
     assert got[1] == (3, [1, 2, 4])  # case/underscore/space-collapse all merge
     assert got[3] == (1, [3])
+
+    # the cap bounds membership but never the count
+    capped = {
+        r.keep_id: (r.n_copies, list(r.sample_ids))
+        for r in exact_dedup(df, "id", "text", max_ids=2).collect()
+    }
+    assert capped[1] == (3, [1, 2])
 
 
 def test_ngram_jaccard_dedup(spark):
