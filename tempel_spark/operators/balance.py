@@ -17,6 +17,7 @@ __all__ = [
     "deterministic_sample_fraction",
     "deterministic_sample_n",
     "round_robin_assign",
+    "capped_round_robin_alloc",
     "weighted_reduce_to_quota",
     "shuffle_groups",
 ]
@@ -48,6 +49,91 @@ def round_robin_assign(
     window arithmetic, parallel across groups."""
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     return df.withColumn(bucket_col, F.pmod(F.row_number().over(w) - 1, F.lit(n_buckets)))
+
+
+def capped_round_robin_alloc(
+    df: DataFrame,
+    group_cols: list[str],
+    cap_col: str,
+    quota_col: str,
+    order_col: str,
+    alloc_col: str = "alloc",
+) -> DataFrame:
+    """O6 exact: distribute a per-group quota Q across rows one unit at
+    a time in row order, each row bounded by its capacity — the
+    reference's sequential round-robin mention allocator
+    (s03_final_dataset_creator_utils.py:160-169,355-368), which visits
+    rows sorted by nr_links ascending (s03:297-299) and stops mid-pass
+    when the quota is reached.
+
+    Re-expressed as closed-form water-filling, which is bit-identical
+    to that loop: after t full passes every row holds min(cap, t), so
+    the loop's fixed point is the max level t* with
+    Σ min(cap_j, t*) ≤ Q, and the final partial pass hands +1 to the
+    first (Q − Σ min(cap_j, t*)) rows *in visit order* among those
+    with cap > t*. One window partitioning (= one shuffle), no
+    per-group Python, no iteration — and the same math runs in ANSI
+    SQL for the DuckDB oracle (q_dataset_alloc).
+
+    Rows are visited by (cap asc, order_col) — the reference's order
+    with a deterministic tiebreak (its own ties fall back to pandas
+    insertion order downstream of an unseeded shuffle, README.md:126-128;
+    we must be reproducible).
+    """
+    g = [F.col(c) for c in group_cols]
+    w_ord = Window.partitionBy(*g).orderBy(F.col(cap_col).asc(), F.col(order_col).asc())
+    w_all = Window.partitionBy(*g)
+
+    cum = F.sum(cap_col).over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rn = F.row_number().over(w_ord)
+    k = F.count(F.lit(1)).over(w_all)
+
+    d = (
+        df.withColumn("_cum", cum)
+        .withColumn("_rn", rn)
+        .withColumn("_k", k)
+        # rows BEFORE this one are full; this row's bracket is
+        # [prev_cap, cap): level candidate for the remaining rows
+        .withColumn("_prev_cum", F.col("_cum") - F.col(cap_col))
+        .withColumn("_rem", F.col("_k") - F.col("_rn") + 1)
+        .withColumn(
+            "_cand",
+            F.floor((F.col(quota_col) - F.col("_prev_cum")) / F.col("_rem")).cast("long"),
+        )
+        # clamp into the bracket from above; candidates from brackets
+        # past the budget fall below automatically (see derivation in
+        # tests/test_dataset_creator.py::test_alloc_matches_sequential)
+        .withColumn("_cand", F.least(F.col("_cand"), F.col(cap_col).cast("long") - 1))
+    )
+    total_cap = F.sum(cap_col).over(w_all)
+    tstar = F.greatest(
+        F.max("_cand").over(w_all),
+        # quota covers every cap → level = max cap (all rows full)
+        F.when(F.col(quota_col) >= total_cap, F.max(cap_col).over(w_all).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        F.lit(0).cast("long"),
+    )
+    d = d.withColumn("_tstar", tstar)
+    base = F.least(F.col(cap_col).cast("long"), F.col("_tstar"))
+    d = d.withColumn("_base", base).withColumn(
+        "_leftover",
+        F.greatest(F.col(quota_col).cast("long") - F.sum("_base").over(w_all), F.lit(0).cast("long")),
+    )
+    # +1 remainder: first `leftover` rows in visit order with spare cap
+    spare_rank = F.sum(
+        F.when(F.col(cap_col) > F.col("_tstar"), F.lit(1)).otherwise(F.lit(0))
+    ).over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn(
+        alloc_col,
+        (
+            F.col("_base")
+            + F.when(
+                (F.col(cap_col) > F.col("_tstar")) & (spare_rank <= F.col("_leftover")), 1
+            ).otherwise(0)
+        ).cast("long"),
+    )
+    return d.drop("_cum", "_rn", "_k", "_prev_cum", "_rem", "_cand", "_tstar", "_base", "_leftover")
 
 
 def weighted_reduce_to_quota(

@@ -514,3 +514,4 @@ from tempel_spark.plans import testdata_queries_text  # noqa: E402,F401
 from tempel_spark.plans import testdata_queries_er  # noqa: E402,F401
 from tempel_spark.plans import testdata_queries_dedup  # noqa: E402,F401
 from tempel_spark.plans import testdata_queries_misc  # noqa: E402,F401
+from tempel_spark.plans import testdata_queries_dataset  # noqa: E402,F401

@@ -1,0 +1,248 @@
+"""Dataset-assembly (s03) stage queries with DuckDB oracles.
+
+Each stage of plans/dataset_creator.py is driven over an alias-stats
+table derived deterministically from `orders`
+(entity = o_custkey % 100, cut = year(o_orderdate),
+surface = o_orderpriority, nr_links = count) and value-matched
+against an independent ANSI-SQL re-implementation:
+
+  q_dataset_subsets — leakage-safe subset assignment (singleton
+      clusters here: the CC-with-edges path is pinned by
+      tests/test_dataset_creator.py; with no must-link edges every
+      surface is its own cluster, which the oracle can express)
+  q_dataset_quota   — capped per-(entity,cut,subset) quotas + the
+      per-subset min-across-cuts target (V3 step 1)
+  q_dataset_balance — the full weighted unit reduction; totals per
+      (subset, cut) land EXACTLY on the target (V3 step 2,
+      reference assert s03:580-604)
+  q_dataset_alloc   — closed-form capped round-robin allocation
+      (O6, s03_utils:160-169) re-derived in SQL window math
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tempel_spark.plans.testdata_queries import register, t
+
+_N_SUBSETS = 3
+_SUBS = ("train", "validation", "test")
+_CAP = 30  # max_mentions_per_entity for the quota queries
+
+# --- shared SQL fragments (DuckDB) -----------------------------------
+
+_STATS = """
+  stats AS (
+    SELECT o_custkey % 100 AS entity_id, year(o_orderdate) AS snapshot_ts,
+           o_orderpriority AS surface, count(*) AS nr_links
+    FROM orders GROUP BY 1, 2, 3),
+  common AS (
+    SELECT * FROM stats WHERE entity_id IN (
+      SELECT entity_id FROM stats GROUP BY entity_id
+      HAVING count(DISTINCT snapshot_ts) = (SELECT count(DISTINCT snapshot_ts) FROM stats))),
+  cw AS (SELECT entity_id, surface, sum(nr_links) AS w FROM common GROUP BY 1, 2),
+  assign AS (
+    SELECT entity_id, surface,
+           (['train','validation','test'])[
+             ((dense_rank() OVER (PARTITION BY entity_id ORDER BY w DESC, surface) - 1) % 3) + 1
+           ] AS subset
+    FROM cw),
+  labeled AS (
+    SELECT c.entity_id, c.snapshot_ts, c.surface, c.nr_links, a.subset
+    FROM common c JOIN assign a USING (entity_id, surface)),
+  cov AS (
+    SELECT entity_id FROM (
+      SELECT entity_id, snapshot_ts, count(DISTINCT subset) AS ns
+      FROM labeled GROUP BY 1, 2)
+    GROUP BY entity_id HAVING min(ns) = 3),
+  covered AS (SELECT * FROM labeled WHERE entity_id IN (SELECT entity_id FROM cov)),
+  n0 AS (
+    SELECT entity_id, snapshot_ts, subset, least(sum(nr_links), {cap}) AS n
+    FROM covered GROUP BY 1, 2, 3)
+""".strip()
+
+_QUOTA_TAIL = """
+  d AS (
+    SELECT *,
+           n - min(n) OVER (PARTITION BY entity_id, subset) AS diff,
+           sum(n) OVER (PARTITION BY subset, snapshot_ts) AS total
+    FROM n0),
+  tgt AS (SELECT subset, min(total) AS target FROM (
+            SELECT DISTINCT subset, snapshot_ts, total FROM d) GROUP BY subset),
+  d2 AS (SELECT d.*, tgt.target, d.total - tgt.target AS reduce FROM d JOIN tgt USING (subset))
+""".strip()
+
+_UNITS_TAIL = """
+  units AS (
+    SELECT entity_id, snapshot_ts, subset, reduce, u.unit,
+           ('0x' || substr(md5('u42:' || entity_id::VARCHAR || ':' || snapshot_ts::VARCHAR
+                                || ':' || subset || ':' || u.unit::VARCHAR), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS race
+    FROM d2, unnest(range(1, CAST(diff + 1 AS BIGINT))) AS u(unit)
+    WHERE diff > 0),
+  dropped AS (
+    SELECT entity_id, snapshot_ts, subset, count(*) AS removed FROM (
+      SELECT *, row_number() OVER (PARTITION BY subset, snapshot_ts
+                                   ORDER BY race, entity_id::VARCHAR, unit) AS urn
+      FROM units)
+    WHERE urn <= reduce GROUP BY 1, 2, 3)
+""".strip()
+
+
+def _spark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        (F.col("o_custkey") % 100).alias("entity_id"),
+        F.year("o_orderdate").alias("snapshot_ts"),
+        F.col("o_orderpriority").alias("surface"),
+    ).agg(F.count(F.lit(1)).alias("nr_links"))
+
+
+@register(
+    "q_dataset_subsets",
+    f"""
+    WITH {_STATS.format(cap=_CAP)}
+    SELECT subset, count(*) AS n_rows, CAST(sum(nr_links) AS BIGINT) AS n_links
+    FROM labeled GROUP BY subset
+    """,
+)
+def q_dataset_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe subset assignment (dataset_creator stage 3) with
+    singleton clusters — oracle-expressible CC degenerate case; the
+    edge path is pytest-pinned."""
+    from tempel_spark.plans.dataset_creator import (
+        assign_subsets_leakage_safe,
+        entities_in_all_snapshots,
+    )
+
+    stats = entities_in_all_snapshots(_spark_stats(spark, sf_dir))
+    assigned = assign_subsets_leakage_safe(
+        stats, subsets=_SUBS, must_link_ratio=0.0, containment_links=False
+    )
+    return assigned.groupBy("subset").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("nr_links").alias("n_links")
+    )
+
+
+@register(
+    "q_dataset_quota",
+    f"""
+    WITH {_STATS.format(cap=_CAP)},
+    {_QUOTA_TAIL}
+    SELECT subset, snapshot_ts, CAST(total AS BIGINT) AS total,
+           CAST(target AS BIGINT) AS target
+    FROM (SELECT DISTINCT subset, snapshot_ts, total, target FROM d2)
+    """,
+)
+def q_dataset_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 step 1: capped per-(entity,cut,subset) totals and the
+    per-subset min-across-cuts target (s03:491-540)."""
+    from tempel_spark.plans.dataset_creator import (
+        assign_subsets_leakage_safe,
+        entities_in_all_snapshots,
+        keep_fully_covered,
+    )
+    from pyspark.sql import Window
+
+    stats = entities_in_all_snapshots(_spark_stats(spark, sf_dir))
+    assigned = assign_subsets_leakage_safe(
+        stats, subsets=_SUBS, must_link_ratio=0.0, containment_links=False
+    )
+    covered = keep_fully_covered(assigned, n_subsets=_N_SUBSETS)
+    n0 = covered.groupBy("entity_id", "snapshot_ts", "subset").agg(
+        F.least(F.sum("nr_links"), F.lit(_CAP)).alias("n")
+    )
+    totals = n0.groupBy("subset", "snapshot_ts").agg(F.sum("n").alias("total"))
+    w = Window.partitionBy("subset")
+    return totals.select(
+        "subset",
+        "snapshot_ts",
+        F.col("total").cast("long").alias("total"),
+        F.min("total").over(w).cast("long").alias("target"),
+    )
+
+
+@register(
+    "q_dataset_balance",
+    f"""
+    WITH {_STATS.format(cap=_CAP)},
+    {_QUOTA_TAIL},
+    {_UNITS_TAIL}
+    SELECT subset, snapshot_ts,
+           CAST(sum(n - COALESCE(removed, 0)) AS BIGINT) AS total_quota
+    FROM d2 LEFT JOIN dropped USING (entity_id, snapshot_ts, subset)
+    GROUP BY 1, 2
+    """,
+)
+def q_dataset_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline s03 invariant, oracle-checked end-to-end: after
+    the deterministic weighted unit reduction, every cut's per-subset
+    total equals the subset target (reference assert s03:580-604)."""
+    from tempel_spark.plans.dataset_creator import (
+        assign_subsets_leakage_safe,
+        balanced_quotas,
+        entities_in_all_snapshots,
+        keep_fully_covered,
+    )
+
+    stats = entities_in_all_snapshots(_spark_stats(spark, sf_dir))
+    assigned = assign_subsets_leakage_safe(
+        stats, subsets=_SUBS, must_link_ratio=0.0, containment_links=False
+    )
+    covered = keep_fully_covered(assigned, n_subsets=_N_SUBSETS)
+    quotas = balanced_quotas(covered, max_mentions_per_entity=_CAP, seed=42)
+    return quotas.groupBy("subset", "snapshot_ts").agg(
+        F.sum("quota").cast("long").alias("total_quota")
+    )
+
+
+@register(
+    "q_dataset_alloc",
+    """
+    WITH caps AS (
+      SELECT c_mktsegment AS grp, c_nationkey AS item, count(*) AS cap, 50 AS quota
+      FROM customer GROUP BY 1, 2),
+    d AS (
+      SELECT grp, item, cap, quota,
+             sum(cap) OVER w_ord - cap AS prev_cum,
+             row_number() OVER w_ord AS rn,
+             count(*) OVER w_all AS k,
+             sum(cap) OVER w_all AS total_cap,
+             max(cap) OVER w_all AS max_cap
+      FROM caps
+      WINDOW w_ord AS (PARTITION BY grp ORDER BY cap, item
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_all AS (PARTITION BY grp)),
+    d2 AS (SELECT *, least(CAST(floor((quota - prev_cum) / (k - rn + 1)) AS BIGINT),
+                           cap - 1) AS cand FROM d),
+    d3 AS (SELECT *, greatest(max(cand) OVER (PARTITION BY grp),
+                              CASE WHEN quota >= total_cap THEN max_cap ELSE 0 END,
+                              0) AS tstar FROM d2),
+    d4 AS (SELECT *, least(cap, tstar) AS base FROM d3),
+    d5 AS (SELECT *,
+             greatest(quota - sum(base) OVER (PARTITION BY grp), 0) AS leftover,
+             sum(CASE WHEN cap > tstar THEN 1 ELSE 0 END)
+               OVER (PARTITION BY grp ORDER BY cap, item
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spare_rank
+           FROM d4)
+    SELECT grp, item,
+           CAST(base + CASE WHEN cap > tstar AND spare_rank <= leftover
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM d5
+    """,
+)
+def q_dataset_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 closed form: capped round-robin allocation of a quota of 50
+    across each market segment's nation buckets — the same window
+    math derived independently in the oracle SQL."""
+    from tempel_spark.operators.balance import capped_round_robin_alloc
+
+    c = t(spark, sf_dir, "customer")
+    caps = c.groupBy(
+        F.col("c_mktsegment").alias("grp"), F.col("c_nationkey").alias("item")
+    ).agg(F.count(F.lit(1)).alias("cap")).withColumn("quota", F.lit(50))
+    out = capped_round_robin_alloc(
+        caps, group_cols=["grp"], cap_col="cap", quota_col="quota", order_col="item"
+    )
+    return out.select("grp", "item", F.col("alloc").cast("long").alias("alloc"))

@@ -1,0 +1,205 @@
+"""s03 dataset-assembly invariants (reference asserts:
+balanced totals s03:580-604/1009-1033, no-duplicate subset tuples
+s03_utils:141-143, quota feasibility s03:594-610, leakage-safe
+must-link clustering s03_utils:611-665)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _sequential_round_robin(caps: list[int], quota: int) -> list[int]:
+    """The reference's literal one-at-a-time allocator
+    (s03_final_dataset_creator_utils.py:160-169): visit rows in order,
+    +1 to any row with spare capacity, until quota or everything full."""
+    alloc = [0] * len(caps)
+    total = 0
+    progressed = True
+    while total < quota and progressed:
+        progressed = False
+        for i, c in enumerate(caps):
+            if total >= quota:
+                break
+            if alloc[i] < c:
+                alloc[i] += 1
+                total += 1
+                progressed = True
+    return alloc
+
+
+def test_alloc_matches_sequential(spark):
+    """Closed-form water-filling == the reference's sequential loop,
+    over randomized (seeded) cap/quota cases."""
+    from tempel_spark.operators.balance import capped_round_robin_alloc
+
+    rng = random.Random(7)
+    rows = []
+    expected = {}
+    for g in range(40):
+        k = rng.randint(1, 8)
+        caps = sorted(rng.randint(0, 12) for _ in range(k))
+        quota = rng.randint(0, sum(caps) + 3)
+        expected[g] = dict(enumerate(_sequential_round_robin(caps, quota)))
+        for i, c in enumerate(caps):
+            rows.append((g, i, c, quota))
+    df = spark.createDataFrame(rows, "grp int, item int, cap int, quota int")
+    out = capped_round_robin_alloc(
+        df, group_cols=["grp"], cap_col="cap", quota_col="quota", order_col="item"
+    )
+    got = {(r.grp, r.item): r.alloc for r in out.collect()}
+    for g, allocs in expected.items():
+        for i, a in allocs.items():
+            assert got[(g, i)] == a, f"group {g} item {i}: got {got[(g, i)]} want {a}"
+
+
+def _stats(spark):
+    """Small deterministic alias-stats fixture: 6 entities × 3 cuts,
+    surfaces engineered so e0 has a must-link pair and entities differ
+    in volume."""
+    rows = []
+    cuts = ["2013-01-01", "2014-01-01", "2015-01-01"]
+    surfaces = {
+        "e0": [("Granite Ember", 6), ("granite ember", 4), ("The GE Corp", 3), ("Zeta", 2)],
+        "e1": [("Falcon", 5), ("Falcon Krypton", 4), ("Blue Jay", 3)],
+        "e2": [("Alpha One", 8), ("Beta Two", 6), ("Gamma Three", 4)],
+        "e3": [("Delta", 3), ("Epsilon", 3), ("Zetta Watt", 3)],
+        "e4": [("Iron Oak", 9), ("Silver Fir", 2), ("Copper Elm", 5)],
+        "e5": [("Quartz", 4), ("Quartz Vein", 4), ("Mica Schist", 4)],
+    }
+    for e, surfs in surfaces.items():
+        for ci, cut in enumerate(cuts):
+            for s, n in surfs:
+                rows.append((e, f"{cut} 00:00:00", s, n + ci))  # volumes drift per cut
+    return spark.createDataFrame(
+        rows, "entity_id string, snapshot_ts string, surface string, nr_links long"
+    ).withColumn("snapshot_ts", F.to_timestamp("snapshot_ts"))
+
+
+def test_dataset_creator_invariants(spark):
+    from tempel_spark.plans.dataset_creator import create_dataset
+
+    stats = _stats(spark)
+    res = create_dataset(stats, max_mentions_per_entity=10)
+
+    assigned = res["assigned"]
+    quotas = res["quotas"].cache()
+    allocations = res["allocations"].cache()
+
+    # must-link: identical-after-normalization surfaces share a subset
+    e0 = {r.surface: r.subset for r in assigned.filter(F.col("entity_id") == "e0").collect()}
+    assert e0["Granite Ember"] == e0["granite ember"]
+
+    # no duplicate (entity, cut, subset) quota tuples (s03_utils:141-143)
+    n = quotas.count()
+    nd = quotas.select("entity_id", "snapshot_ts", "subset").distinct().count()
+    assert n == nd
+
+    # per-subset totals EQUAL across cuts (s03:580-604)
+    totals = (
+        quotas.groupBy("subset", "snapshot_ts").agg(F.sum("quota").alias("tot"))
+        .groupBy("subset")
+        .agg(F.countDistinct("tot").alias("k"), F.min("tot").alias("t"))
+        .collect()
+    )
+    assert totals, "no subsets survived"
+    for r in totals:
+        assert r.k == 1, f"subset {r.subset} unbalanced across cuts"
+        assert r.t > 0
+
+    # every quota > 0 (s03:594-596)
+    assert quotas.filter(F.col("quota") <= 0).count() == 0
+
+    # allocation: sums to quota, never exceeds per-surface capacity
+    bad_cap = allocations.filter(F.col("n_to_extract") > F.col("nr_links")).count()
+    assert bad_cap == 0
+    sums = (
+        allocations.groupBy("entity_id", "snapshot_ts", "subset")
+        .agg(F.sum("n_to_extract").alias("got"), F.first("quota").alias("want"))
+        .filter(F.col("got") != F.col("want"))
+        .count()
+    )
+    assert sums == 0
+
+    # fully-covered filter: every surviving entity has every subset in every cut
+    cover = (
+        res["covered"].groupBy("entity_id", "snapshot_ts")
+        .agg(F.countDistinct("subset").alias("ns"))
+        .filter(F.col("ns") != 3)
+        .count()
+    )
+    assert cover == 0
+
+
+def test_dataset_creator_deterministic(spark):
+    from tempel_spark.plans.dataset_creator import create_dataset
+
+    stats = _stats(spark)
+    a = create_dataset(stats, max_mentions_per_entity=10)["allocations"]
+    b = create_dataset(stats, max_mentions_per_entity=10)["allocations"]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quality_filters_and_coverage(spark):
+    from tempel_spark.plans.dataset_creator import (
+        apply_quality_filters,
+        entities_in_all_snapshots,
+    )
+
+    stats = _stats(spark)
+    f = apply_quality_filters(stats, {"nr_links": ("min", 4)})
+    assert f.filter(F.col("nr_links") < 4).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_quality_filters(stats, {"no_such_col": ("min", 1)})
+
+    # drop e5 from one cut → it must not survive the intersection
+    holey = stats.filter(
+        ~((F.col("entity_id") == "e5") & (F.col("snapshot_ts") == "2014-01-01 00:00:00"))
+    )
+    surv = entities_in_all_snapshots(holey)
+    assert surv.filter(F.col("entity_id") == "e5").count() == 0
+    assert surv.filter(F.col("entity_id") == "e1").count() > 0
+
+
+def test_dataset_end_to_end_with_mentions(spark, tmp_path):
+    """Full flow incl. instance pick + context windows + fan-out sink."""
+    from tempel_spark.plans.dataset_creator import create_dataset
+
+    stats = _stats(spark)
+    # occurrence table: nr_links occurrences per (cut, surface) row
+    occ = (
+        stats.select(
+            "snapshot_ts",
+            "surface",
+            F.posexplode(F.sequence(F.lit(1), F.col("nr_links"))).alias("_p", "_i"),
+        )
+        .withColumn("mention_id", F.concat_ws(":", "surface", "snapshot_ts", "_i"))
+        .withColumn("text", F.concat(F.lit("lead text "), F.col("surface"), F.lit(" trail text")))
+        .withColumn("span_start", F.lit(10))
+        .drop("_p", "_i")
+    )
+    path = str(tmp_path / "fanout")
+    res = create_dataset(stats, mentions=occ, max_mentions_per_entity=10, fanout_path=path)
+    dm = res["dataset_mentions"].cache()
+    # every allocation satisfied exactly (occurrences >= n_to_extract by construction)
+    # note: same surface may serve multiple entities; per (cut,subset,surface)
+    # the pick takes max(n_to_extract) rows — check per-alloc coverage instead
+    got = {
+        (str(r.snapshot_ts), r.subset, r.surface): r.n
+        for r in dm.groupBy("snapshot_ts", "subset", "surface").agg(F.count("*").alias("n")).collect()
+    }
+    for r in res["allocations"].collect():
+        assert got.get((str(r.snapshot_ts), r.subset, r.surface), 0) >= r.n_to_extract
+    # context windows actually cut around the span
+    row = dm.first()
+    assert row.context_left.endswith("lead text "[-len(row.context_left):]) or row.context_left == ""
+    # fan-out layout on disk: snapshot_ts=.../subset=... directories
+    import os
+
+    parts = [p for p in os.listdir(path) if p.startswith("snapshot_ts=")]
+    assert parts
+    sub = os.listdir(os.path.join(path, parts[0]))
+    assert any(s.startswith("subset=") for s in sub)
