@@ -56,11 +56,29 @@ def asof_stable_version(
     max_look_back_days: int = 30,
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """One stable row per (key, snapshot): latest revision ≤ cut,
-    demoted to its predecessor when it is both younger than
-    ``max_look_back_days`` at the cut AND lived < ``min_days_stable``
-    before being superseded. Exactly the reference's stability rule,
-    as pure window arithmetic (no per-group Python).
+    """One stable row per (key, snapshot) — the FULL reference
+    securing rule (wikipedia_history_reader.py:255-299), as pure
+    window arithmetic (no per-group Python). A revision r (lifetime =
+    time to its successor s) is SECURED for a cut iff
+
+      (a) r is already old at the cut: floor((cut − r.ts) in days)
+          > max_look_back (the reader's branch-1, strict, day-
+          truncated, :262-266); or
+      (b) its successor falls inside the look-back regime
+          (floor((cut − s.ts) days) ≤ max_look_back — s may postdate
+          the cut) AND r's lifetime either reaches min_days_stable
+          (:287) OR **exceeds every earlier revision's lifetime**
+          (the running max_time_lapse_between_revisions branch,
+          :286-293 — a revision that out-lived all predecessors is
+          trusted even when young).
+
+    The reader's running max is a sequential fold, but it reduces to
+    a prefix-max window: a lifetime that does not trigger the branch
+    is ≤ the running max, so the running max always equals the max of
+    ALL prior lifetimes. The winner per (key, cut) is the secured
+    revision with the latest ts (the fold's last securing event);
+    when nothing is secured, the FIRST revision ≤ cut is kept
+    unconditionally ("IF it is the first one, puts it anyway").
     """
     snaps = snapshots or yearly_snapshots()
     spark = revisions.sparkSession
@@ -77,18 +95,31 @@ def asof_stable_version(
 
     cand = with_life.join(F.broadcast(sdf), F.col(rev_ts_col) <= F.col("snapshot_ts"), "inner")
 
-    # Reference rule (wikipedia_history_reader.py:262-299): a revision
-    # is "secured" for a cut iff a SUCCESSOR proves it lived
-    # ≥ min_days_stable (the successor may postdate the cut — lifetime
-    # comes from full history), OR it is already ≥ max_look_back old at
-    # the cut. An un-superseded young revision is NOT stable. When no
-    # revision is secured, the FIRST revision ≤ cut is kept
-    # unconditionally ("IF it is the first one, puts it anyway").
     lived_secs = F.unix_timestamp("_next_ts") - F.unix_timestamp(rev_ts_col)  # null for newest
-    age_at_cut = F.unix_timestamp("snapshot_ts") - F.unix_timestamp(rev_ts_col)
-    stable = (lived_secs >= min_days_stable * 86400) | (age_at_cut >= max_look_back_days * 86400)
+    age_days = F.floor(
+        (F.unix_timestamp("snapshot_ts") - F.unix_timestamp(rev_ts_col)) / F.lit(86400)
+    )
+    succ_age_days = F.floor(
+        (F.unix_timestamp("snapshot_ts") - F.unix_timestamp("_next_ts")) / F.lit(86400)
+    )
+    in_regime = F.col("_next_ts").isNotNull() & (succ_age_days <= max_look_back_days)
 
-    # one window: stable rows first (latest wins), else earliest row —
+    w_prefix = (
+        Window.partitionBy(*key_cols, "snapshot_ts")
+        .orderBy(F.col(rev_ts_col), *[F.col(c) for c in tb])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = cand.withColumn("_lived", lived_secs).withColumn("_in_regime", in_regime)
+    runmax_before = F.max(F.when(F.col("_in_regime"), F.col("_lived"))).over(w_prefix)
+    stable = (age_days > max_look_back_days) | (
+        F.col("_in_regime")
+        & (
+            (F.col("_lived") >= min_days_stable * 86400)
+            | (F.col("_lived") > F.coalesce(runmax_before, F.lit(0)))
+        )
+    )
+
+    # one window: secured rows first (latest wins), else earliest row —
     # encoded as a single sort key so it stays one shuffle.
     u = F.unix_timestamp(F.col(rev_ts_col))
     pick_key = F.when(F.col("_stable"), u).otherwise(-u)
@@ -99,5 +130,5 @@ def asof_stable_version(
         cand.withColumn("_stable", F.coalesce(stable, F.lit(False)))
         .withColumn("_rn", F.row_number().over(w_pick))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_stable", "_next_ts")
+        .drop("_rn", "_stable", "_next_ts", "_lived", "_in_regime")
     )

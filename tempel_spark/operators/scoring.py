@@ -28,7 +28,7 @@ from tempel_spark.functions.similarity import (
 )
 from tempel_spark.functions.text import normalize_mention
 
-__all__ = ["score_pairs", "abbreviation_edges", "MUST_LINK_RATIO"]
+__all__ = ["score_pairs", "abbreviation_edges", "anchored_partial_sources", "MUST_LINK_RATIO"]
 
 MUST_LINK_RATIO = 0.2  # reference s03_dataset_creator.json:44
 
@@ -48,7 +48,7 @@ def score_pairs(
     score = 0.45·JW + 0.30·(1−lev_ratio) + 0.25·jaccard
             (re-weighted to 0.35/0.25/0.20/0.20·cosine when
              embeddings are present)
-    is_match = must_link OR score ≥ threshold
+    is_match = must_link OR (score ≥ threshold AND NOT is_partial)
 
     prenormalized: pass True when text_a/text_b are ALREADY normalized
     (the pipeline normalizes once per distinct surface upstream).
@@ -107,20 +107,60 @@ def score_pairs(
     # token-set subset: subsets over-merge distinct entities that share
     # a token multiset ({juniper, raven} ⊂ {juniper, raven, willow};
     # "meridian meridian" ⊆ "meridian prairie" after distinct) — found
-    # as the dominant precision loss in cluster audits. A single shared
-    # token ("falcon") is the ambiguous-abbreviation case the
-    # reference resolves by prior rank (alias table, s02:434-440) —
-    # flagged here, resolved to its top-1 candidate by
-    # abbreviation_edges().
+    # as the dominant precision loss in cluster audits.
     prefix_ml = (
         nb.startswith(F.concat(na, F.lit(" "))) | na.startswith(F.concat(nb, F.lit(" ")))
     ) & (n_small >= 2)
+    must_link = (F.col("ratio_edit_distance") < MUST_LINK_RATIO) | prefix_ml
+
+    # PARTIAL pairs — a token-set subset with DIFFERENT token counts
+    # that is not a must-link ("falcon" ⊆ "falcon krypton",
+    # "juniper raven" ⊆ {juniper, juniper, raven}) — are inherently
+    # AMBIGUOUS: the short side could complete to several entities,
+    # and its distinct-token jaccard is inflated by construction
+    # (often 1.0), so letting the generic score threshold hard-match
+    # it bridges entities (round-2 cluster audit: "Juniper"↔
+    # "Juniper Juniper" at 0.79 and "Juniper Raven"↔"Juniper Juniper
+    # Raven" at 0.84 were the dominant over-merges). Partials NEVER
+    # hard-match; they resolve like the reference's alias-table prior
+    # rank (prior_rank = 1 wins, s02:434-440) via abbreviation_edges,
+    # optionally re-ranked per occurrence by context
+    # (context_disambig). EQUAL-count subsets (word swaps "granite
+    # ember"↔"ember granite", or duplicate-token degenerates) are NOT
+    # shortenings — they stay on the plain score path.
+    is_partial = subset & ~must_link & (F.size(ta) != F.size(tb))
     return (
         out.withColumn("score", score.cast("double"))
-        .withColumn("must_link", (F.col("ratio_edit_distance") < MUST_LINK_RATIO) | prefix_ml)
-        .withColumn("is_abbrev", subset & (n_small == 1) & (F.col("ratio_edit_distance") >= MUST_LINK_RATIO))
-        .withColumn("is_match", F.col("must_link") | (F.col("score") >= threshold))
+        .withColumn("must_link", must_link)
+        .withColumn("is_partial", is_partial)
+        .withColumn("is_match", F.col("must_link") | ((F.col("score") >= threshold) & ~is_partial))
     )
+
+
+def anchored_partial_sources(
+    scored: DataFrame,
+    group_cols: list[str] | None = None,
+    text_a: str = "surface_a",
+    text_b: str = "surface_b",
+    prenormalized: bool = False,
+) -> DataFrame:
+    """Surfaces already must-linked to a strictly LONGER surface.
+
+    Such a surface has a confirmed full form ("Juniper Raven" prefix-
+    must-links "Juniper Raven Willow"); also giving it a prior-ranked
+    partial edge to some OTHER full form would bridge two entities
+    through it (the round-2 "Juniper Raven"→"Juniper Juniper Raven"
+    over-merge). Returns (group…, surface) to anti-join."""
+    groups = group_cols or ["snapshot_ts"]
+    if prenormalized:
+        na, nb = F.col(text_a), F.col(text_b)
+    else:
+        na, nb = normalize_mention(text_a), normalize_mention(text_b)
+    sa, sb = F.size(F.split(na, " ")), F.size(F.split(nb, " "))
+    ml = scored.filter(F.col("must_link"))
+    shorter_a = ml.filter(sa < sb).select(*groups, F.col("id_a").alias("surface"))
+    shorter_b = ml.filter(sb < sa).select(*groups, F.col("id_b").alias("surface"))
+    return shorter_a.unionByName(shorter_b).distinct()
 
 
 def abbreviation_edges(
@@ -131,24 +171,33 @@ def abbreviation_edges(
     prenormalized: bool = False,
     freq_a: str | None = None,
     freq_b: str | None = None,
+    exclude_anchored: bool = True,
 ) -> DataFrame:
-    """Resolve single-token abbreviation pairs: each abbreviation
-    links to exactly one full-form candidate — ranked by the
-    candidate's mention FREQUENCY first (the alias-table prior:
-    prior_rank = 1 wins, s02_alias_table_generator.py:434-440), then
-    string score, then deterministic id tie-break. Pass freq_a/freq_b
-    (per-surface mention counts) to enable the prior; without them the
-    rank falls back to score-only. Returns (group…, id_a, id_b) edges
-    to union into the clustering edge list."""
+    """Resolve PARTIAL pairs (token-subset ambiguity, incl. single-
+    token abbreviations): each unanchored short side links to exactly
+    one full-form candidate — ranked by the candidate's mention
+    FREQUENCY first (the alias-table prior: prior_rank = 1 wins,
+    s02_alias_table_generator.py:434-440), then string score, then
+    deterministic id tie-break. Pass freq_a/freq_b (per-surface
+    mention counts) to enable the prior; without them the rank falls
+    back to score-only. Sources that already must-link to a longer
+    surface are excluded (see anchored_partial_sources). Returns
+    (group…, id_a, id_b) edges to union into the clustering edge
+    list."""
     groups = group_cols or ["snapshot_ts"]
     if prenormalized:
         na, nb = F.col(text_a), F.col(text_b)
     else:
         na, nb = normalize_mention(text_a), normalize_mention(text_b)
     a_is_src = F.size(F.split(na, " ")) <= F.size(F.split(nb, " "))
-    cand = scored.filter(F.col("is_abbrev") & ~F.col("is_match")).withColumn(
+    cand = scored.filter(F.col("is_partial") & ~F.col("is_match")).withColumn(
         "_src", F.when(a_is_src, F.col("id_a")).otherwise(F.col("id_b"))
     )
+    if exclude_anchored:
+        anchored = anchored_partial_sources(
+            scored, groups, text_a, text_b, prenormalized
+        ).withColumnRenamed("surface", "_src")
+        cand = cand.join(anchored, [*groups, "_src"], "left_anti")
     order = []
     if freq_a and freq_b:
         # frequency of the FULL-FORM side (the candidate entity)

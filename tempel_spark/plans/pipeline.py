@@ -82,10 +82,11 @@ def run_pipeline(
     gold: DataFrame | None = None,
     threshold: float = 0.75,
     pair_cap: int = 200,
-    lsh_hashes: int = 6,
-    lsh_bands: int = 3,
+    lsh_hashes: int = 12,
+    lsh_bands: int = 6,
     force: bool = False,
     embeddings: DataFrame | None = None,
+    context_dim: int = 0,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full flow. Returns the stage DataFrames.
 
@@ -99,6 +100,16 @@ def run_pipeline(
     feature (score reweighted, see score_pairs). The embedding table
     is vocabulary-sized → broadcast onto the pair sides, no shuffle
     of the pair table.
+
+    context_dim: > 0 enables per-occurrence context disambiguation of
+    ambiguous abbreviations (operators/context_disambig.py) — the
+    model-free analogue of the reference's per-mention-in-context
+    candidate re-ranking (nn_prediction.py:76). Occurrences of a
+    surface with ≥ 2 full-form candidates are routed to the candidate
+    cluster whose occurrences' hashed context vectors are nearest
+    (cosine), instead of all going to the prior top-1. Off by
+    default: the surface-level pivot is the reference-parity
+    semantics; this is the accuracy upgrade on top.
     """
     # default = the reference's 10 yearly cuts 2013-2022
     # (s01_config_content.json:29-40)
@@ -142,11 +153,24 @@ def run_pipeline(
             "snapshot_ts", "surface", "norm", "n_mentions",
             F.concat(F.lit("S:"), sorted_key).alias("block_key"),
         )
+        # first-2-tokens prefix key: drop-last-token shortenings
+        # ("Alpha Prairie" ↔ "Alpha Prairie Xenon") must pair
+        # DETERMINISTICALLY — leaving them to LSH luck split entities
+        # whenever every band missed (round-2 audit). Multi-token only;
+        # single-token abbreviations go through the bipartite
+        # first-token block below.
+        ntok_all = F.size(F.split(F.col("norm"), " "))
+        pfx = surfaces.filter(ntok_all >= 2).select(
+            "snapshot_ts", "surface", "norm", "n_mentions",
+            F.concat(
+                F.lit("P:"), F.array_join(F.slice(F.split(F.col("norm"), " "), 1, 2), " ")
+            ).alias("block_key"),
+        )
         lsh = lsh_band_blocks(surfaces, "norm", n_hashes=lsh_hashes, bands=lsh_bands, normalize=False).select(
             "snapshot_ts", "surface", "norm", "n_mentions",
             F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
         )
-        return exact.unionByName(stoken).unionByName(lsh)
+        return exact.unionByName(stoken).unionByName(pfx).unionByName(lsh)
 
     blocks = ck("blocks", _blocks, cache=True)
 
@@ -276,12 +300,35 @@ def run_pipeline(
     # ---- broadcast the vocabulary assignment back to occurrences ----
     # surface vocabulary is small relative to occurrences → broadcast
     # hash join; 10^12 mention rows never shuffle.
-    components = ck(
-        "components",
-        lambda: mentions.select("snapshot_ts", "mention_id", "surface").join(
+    def _assign() -> DataFrame:
+        base = mentions.select("snapshot_ts", "mention_id", "surface").join(
             F.broadcast(surface_components), ["snapshot_ts", "surface"], "inner"
-        ).select("snapshot_ts", "mention_id", "component"),
-    )
+        )
+        if context_dim <= 0:
+            return base.select("snapshot_ts", "mention_id", "component")
+        from tempel_spark.operators.context_disambig import (
+            ambiguous_candidates,
+            disambiguate_occurrences,
+        )
+
+        overrides = disambiguate_occurrences(
+            transcripts, mentions, surface_components,
+            ambiguous_candidates(scored), dim=context_dim,
+        )
+        return (
+            base.join(
+                F.broadcast(overrides.withColumnRenamed("component", "_ctx_component")),
+                ["snapshot_ts", "mention_id"],
+                "left",
+            )
+            .select(
+                "snapshot_ts",
+                "mention_id",
+                F.coalesce("_ctx_component", "component").alias("component"),
+            )
+        )
+
+    components = ck("components", _assign)
 
     out = {
         "mentions": mentions,

@@ -198,6 +198,72 @@ def q_dataset_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_title_scd",
+    """
+    WITH changes AS (
+      SELECT o_orderpriority AS title, o_orderdate AS valid_from,
+             max(o_custkey) AS page_id
+      FROM orders WHERE o_orderkey % 10 = 0
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT o_orderkey, o_orderpriority AS title, o_orderdate AS ts
+      FROM orders WHERE o_orderkey % 10 = 5)
+    SELECT p.o_orderkey, p.title, c.page_id, c.valid_from AS asof_valid_from
+    FROM probes p ASOF LEFT JOIN changes c
+      ON p.title = c.title AND p.ts >= c.valid_from
+    """,
+)
+def q_title_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title-change SCD as-of join (reference joins alias stats to
+    title_changes on (title, filtered_date), s02:275-295): for each
+    probe, the page holding the title as of the probe date — the
+    union-merge as-of join vs DuckDB's native ASOF JOIN."""
+    from tempel_spark.operators.scd import asof_join
+
+    o = t(spark, sf_dir, "orders")
+    changes = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .groupBy(F.col("o_orderpriority").alias("title"), F.col("o_orderdate").alias("valid_from"))
+        .agg(F.max("o_custkey").alias("page_id"))
+    )
+    probes = o.filter(F.col("o_orderkey") % 10 == 5).select(
+        "o_orderkey", F.col("o_orderpriority").alias("title"), F.col("o_orderdate").alias("ts")
+    )
+    out = asof_join(probes, changes, key="title", probe_ts="ts", change_ts="valid_from")
+    return out.select("o_orderkey", "title", "page_id", "asof_valid_from")
+
+
+@register(
+    "q_redirect_chains",
+    """
+    WITH RECURSIVE r AS (
+      SELECT c_custkey AS src, c_custkey - 1 AS dst FROM customer WHERE c_custkey % 4 <> 0),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM r
+      UNION ALL
+      SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN r ON w.cur = r.src WHERE w.hops < 20)
+    SELECT src, cur AS resolved, CAST(hops AS BIGINT) AS n_hops FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn FROM walk)
+    WHERE rn = 1
+    """,
+)
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive redirect resolution (reference follows
+    page→redirect→target dict chains, load_wiki_sql_tables.py:136-213,
+    s02_redirect_detector.py:46-134): pointer-doubling vs the
+    oracle's recursive CTE. Chains k→k−1→…→(k − k mod 4): every
+    4th key is terminal, so chain length ≤ 3."""
+    from tempel_spark.operators.redirects import resolve_redirects
+
+    c = t(spark, sf_dir, "customer")
+    red = c.filter(F.col("c_custkey") % 4 != 0).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    out = resolve_redirects(red, max_hops=20)
+    return out.select("src", "resolved", F.col("n_hops").cast("long").alias("n_hops"))
+
+
+@register(
     "q_dataset_alloc",
     """
     WITH caps AS (

@@ -122,9 +122,19 @@ def q_overlap_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     cand AS (
       SELECT l.*, c.snapshot_ts,
-             coalesce((epoch(l.next_ts) - epoch(l.ts)) >= 86400, FALSE)
-               OR (epoch(c.snapshot_ts) - epoch(l.ts)) >= 7 * 86400 AS stable
-      FROM life l JOIN cuts c ON l.ts <= c.snapshot_ts)
+             epoch(l.next_ts) - epoch(l.ts) AS lived,
+             l.next_ts IS NOT NULL
+               AND floor((epoch(c.snapshot_ts) - epoch(l.next_ts)) / 86400) <= 7 AS in_regime,
+             floor((epoch(c.snapshot_ts) - epoch(l.ts)) / 86400) > 7 AS old_at_cut
+      FROM life l JOIN cuts c ON l.ts <= c.snapshot_ts),
+    sec AS (
+      SELECT *,
+             old_at_cut OR (in_regime AND (
+               lived >= 86400 OR
+               lived > coalesce(max(CASE WHEN in_regime THEN lived END) OVER (
+                 PARTITION BY user_id, snapshot_ts ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS stable
+      FROM cand)
     SELECT user_id, snapshot_ts, event_id, ts
     FROM (SELECT user_id, snapshot_ts, event_id, ts,
                  row_number() OVER (
@@ -132,14 +142,16 @@ def q_overlap_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY stable DESC,
                             CASE WHEN stable THEN epoch(ts) ELSE -epoch(ts) END DESC,
                             event_id DESC) AS rn
-          FROM cand)
+          FROM sec)
     WHERE rn = 1
     """,
 )
 def q_asof_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5 in full: as-of snapshot selection with the stability demotion
-    rule (wikipedia_history_reader.py:233-299) — latest event ≤ cut
-    that lived ≥ 1 day or is ≥ 7 days old at the cut."""
+    """W5 in full: as-of snapshot selection with the reference's
+    complete securing rule (wikipedia_history_reader.py:255-299):
+    old-at-cut (day-floored, strict) OR successor-in-regime AND
+    (lived ≥ 1 day OR lived longer than every earlier event — the
+    running max_time_lapse branch as a prefix-max window)."""
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     out = asof_stable_version(
         e.withColumnRenamed("ts", "rev_ts"),

@@ -152,11 +152,24 @@ def synth_transcripts(
     # ~15% of turns carry no mention at all (pure filler)
     has_mention = hash_uniform("cid", "turn_idx", seed=seed + 17) >= 0.15
 
+    # per-entity topic token: conversations about an entity share
+    # topical vocabulary (the signal the reference's context encoder
+    # exploits, biencoder.py:105-123). Deliberately OPAQUE — an md5
+    # tag, never a substring of any surface — so only co-occurrence
+    # statistics (hashed context vectors) can link it to the entity;
+    # dropped on ~25% of mention turns so the no-signal fallback path
+    # stays exercised.
+    topic = F.concat(F.lit("topic"), F.substring(F.md5(F.col("gold_entity_id")), 1, 6))
+    has_topic = hash_uniform("cid", "turn_idx", seed=seed + 19) >= 0.25
+
     # [[Canonical|surface]] wiki-anchor syntax — same mention encoding the
     # reference extracts (s01_wikipedia_clean_and_tokenize.py:209-253).
     text = F.when(
         has_mention,
-        F.concat(F.col("filler"), F.lit(" [["), name, F.lit("|"), surface, F.lit("]] today")),
+        F.concat(
+            F.col("filler"), F.lit(" [["), name, F.lit("|"), surface, F.lit("]] today"),
+            F.when(has_topic, F.concat(F.lit(" re "), topic)).otherwise(F.lit("")),
+        ),
     ).otherwise(F.concat(F.col("filler"), F.lit(" nothing specific today")))
 
     # timestamps: conv start spread uniformly over the snapshot span,

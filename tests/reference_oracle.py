@@ -88,7 +88,7 @@ def jaro_winkler(a: str, b: str) -> float:
     return j + p * 0.1 * (1 - j)
 
 
-def minhash_band_keys(surface: str, n_hashes: int = 6, bands: int = 3, k: int = 3) -> list[str]:
+def minhash_band_keys(surface: str, n_hashes: int = 12, bands: int = 6, k: int = 3) -> list[str]:
     s = normalize(surface)
     shingles = [s[i : i + k] for i in range(max(len(s) - k + 1, 1))]
     sig = [
@@ -155,6 +155,8 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
             fblocks[(snap, toks[0])][0].append(surf)
         else:
             fblocks[(snap, toks[0])][1].append(surf)
+            # first-2-tokens prefix key (mirrors pipeline P: block)
+            blocks[(snap, "P:" + " ".join(toks[:2]))].append(surf)
         for bk in minhash_band_keys(surf):
             blocks[(snap, bk)].append(surf)
 
@@ -173,7 +175,13 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
     for snap, surf in surfaces:
         uf.find((snap, surf))
 
-    abbrev_best = {}
+    # pass 1: must-link / plain score edges + the anchored set
+    # (surfaces must-linked to a strictly longer surface); pass 2:
+    # prior-ranked resolution of unanchored PARTIAL (token-subset)
+    # pairs — mirrors score_pairs is_partial + abbreviation_edges
+    # exclude_anchored semantics.
+    partials = []
+    anchored = set()
     for snap, sa, sb in sorted(pairs):
         na, nb = normalize(sa), normalize(sb)
         lr = lev_ratio(na, nb)
@@ -185,18 +193,27 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
         n_small = min(len(ta), len(tb))
         prefix_ml = (nb.startswith(na + " ") or na.startswith(nb + " ")) and n_small >= 2
         must = lr < MUST_LINK_RATIO or prefix_ml
-        is_abbrev = subset and n_small == 1 and lr >= MUST_LINK_RATIO
-        if must or score >= SCORE_THRESHOLD:
+        partial = subset and not must and len(ta) != len(tb)
+        if must:
             uf.union((snap, sa), (snap, sb))
-        elif is_abbrev:
-            # rank candidates by full-form mention frequency (the
-            # alias-table prior), then score, then ids — mirrors
-            # abbreviation_edges(freq_a/freq_b)
-            src, full = (sa, sb) if len(ta) <= len(tb) else (sb, sa)
-            key = (snap, src)
-            cand = (-freq[(snap, full)], -score, sa, sb)
-            if key not in abbrev_best or cand < abbrev_best[key]:
-                abbrev_best[key] = cand
+            if len(ta) < len(tb):
+                anchored.add((snap, sa))
+            elif len(tb) < len(ta):
+                anchored.add((snap, sb))
+        elif score >= SCORE_THRESHOLD and not partial:
+            uf.union((snap, sa), (snap, sb))
+        elif partial:
+            partials.append((snap, sa, sb, score, len(ta), len(tb)))
+
+    abbrev_best = {}
+    for snap, sa, sb, score, la, lb in partials:
+        src, full = (sa, sb) if la <= lb else (sb, sa)
+        if (snap, src) in anchored:
+            continue
+        key = (snap, src)
+        cand = (-freq[(snap, full)], -score, sa, sb)
+        if key not in abbrev_best or cand < abbrev_best[key]:
+            abbrev_best[key] = cand
     for (snap, _src), (_f, _s, sa, sb) in abbrev_best.items():
         uf.union((snap, sa), (snap, sb))
 

@@ -181,3 +181,41 @@ def test_multimodal_plumbing(spark):
     ))
     sampled = frame_sample(vids, every_n=10)
     assert sampled.filter("media_id = 1").count() == 3  # frames 0, 10, 20
+
+
+def test_multimodal_real_header_decode(spark):
+    """PNG/GIF/BMP/JPEG dims and WAV sample rate parsed from real
+    handcrafted headers — no codec library, exact values."""
+    import struct
+
+    from tempel_spark.functions.multimodal import attach_media_metadata, decode_header
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00" + b"\x2c" + b"\x00" * 9
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"          # APP0, 4-byte segment
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03\x00\x00\x00"
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + struct.pack("<HH", 1, 2) + struct.pack("<I", 44100) + b"\x00" * 8
+    )
+
+    assert decode_header(png) == {"format": "png", "width": 640, "height": 480, "n_frames": 1, "sample_rate": 0}
+    assert decode_header(gif)["format"] == "gif"
+    assert decode_header(gif)["width"] == 320
+    assert decode_header(bmp) == {"format": "bmp", "width": 800, "height": 600, "n_frames": 1, "sample_rate": 0}
+    assert decode_header(jpeg) == {"format": "jpeg", "width": 1920, "height": 1080, "n_frames": 1, "sample_rate": 0}
+    assert decode_header(wav) == {"format": "wav", "width": 0, "height": 0, "n_frames": 0, "sample_rate": 44100}
+    assert decode_header(b"garbage")["format"] == "unknown"
+    assert decode_header(None)["format"] == "unknown"
+
+    rows = [(1, "image", bytearray(png)), (2, "audio", bytearray(wav)), (3, "image", bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r.media_id: (r.meta.width, r.meta.height, r.meta.sample_rate, r.meta.format)
+           for r in attach_media_metadata(df).collect()}
+    assert got[1] == (640, 480, 0, "png")
+    assert got[2] == (0, 0, 44100, "wav")
+    assert got[3][3] == "unknown"

@@ -39,7 +39,7 @@ def test_minhash_identical_strings_identical_bands(s):
 
     assert minhash_band_keys(s) == minhash_band_keys(s)
     # containment: a string is always a candidate of itself via any band
-    assert len(minhash_band_keys(s)) == 3
+    assert len(minhash_band_keys(s)) == 6  # pipeline default: 12 hashes / 6 bands
 
 
 EDGES = st.lists(
