@@ -62,28 +62,19 @@ def run_pipeline_bench(spark, sf: float, scale_mult: int = 1) -> dict:
     trans = synth_transcripts(spark, n_convs=n_convs, n_entities=n_entities, n_snapshots=3)
 
     t0 = time.time()
-    res = run_pipeline(spark, trans, snapshots=snaps, pair_cap=150)
-    # per-stage wall breakdown (cumulative splits on the persisted
-    # stages — each count materializes exactly one more stage, so the
-    # deltas attribute regressions per stage across rounds,
-    # BENCH_r{N}.json hygiene):
-    stages: dict[str, float] = {}
-    tprev = t0
-    for st in ("surfaces", "pairs"):
-        res[st].count()
-        now = time.time()
-        stages[f"to_{st}"] = round(now - tprev, 3)
-        tprev = now
+    # profile=True: each stage is eagerly materialized inside
+    # run_pipeline with its own wall clock — true per-stage
+    # attribution for round-over-round regressions (the CC driver
+    # loop would otherwise pull all upstream compute into one stage)
+    res = run_pipeline(spark, trans, snapshots=snaps, pair_cap=150, profile=True)
+    stages = dict(res["timings"])
     n_pairs = res["scored"].count()
     t_score = time.time() - t0
-    stages["to_scored"] = round(time.time() - tprev, 3)
-    tprev = time.time()
     # one action for both output metrics (driver-side planning is the
     # serial fraction — merge actions wherever possible)
     row = res["components"].agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("component").alias("c")
     ).collect()[0]
-    stages["to_components"] = round(time.time() - tprev, 3)
     n_mentions, n_comp = row["n"], row["c"]
     t_total = time.time() - t0
     return {

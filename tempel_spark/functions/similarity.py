@@ -116,14 +116,48 @@ def _jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> floa
     return j + prefix * p * (1.0 - j)
 
 
+def _make_jw():
+    """Per-process Jaro-Winkler implementation picker: rapidfuzz's
+    C-backed scorer when it is installed AND bit-agrees with the pure
+    implementation on a probe set (guards against convention drift —
+    boost threshold, empty-string handling); else the pure fallback.
+    Evaluated once per Python worker at module import. The probe gate
+    means a cluster with rapidfuzz gets the ~20× scorer with zero
+    score drift (q_er_scored_pairs stays DuckDB-value-exact)."""
+    try:
+        from rapidfuzz.distance import JaroWinkler  # noqa: PLC0415
+    except ImportError:
+        return _jaro_winkler
+
+    def rf(x: str, y: str) -> float:
+        if not x or not y:
+            return 0.0
+        return JaroWinkler.normalized_similarity(x, y)
+
+    probes = [
+        ("martha", "marhta"), ("dwayne", "duane"), ("", ""), ("a", ""),
+        ("granite ember", "granite embers"), ("abcdef", "abcdef"),
+        ("ab", "ba"), ("jones", "johnson"), ("abcdefgh", "abzzzzzz"),
+        ("prefix match low", "prxyzqw"), ("x", "y"),
+    ]
+    for x, y in probes:
+        if abs(rf(x, y) - _jaro_winkler(x, y)) > 1e-9:
+            return _jaro_winkler
+    return rf
+
+
+_JW = _make_jw()
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Jaro-Winkler similarity, Arrow-batched. Fills the scoring role
     of the reference's learned bi-encoder dot product
     (biencoder.py:105-123) for surface-form pairs — the scoring
-    feature the north_rule names explicitly."""
+    feature the north_rule names explicitly. Backed by rapidfuzz when
+    available and probe-verified equivalent (_make_jw)."""
     return pd.Series(
-        [_jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+        [_JW(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
     )
 
 

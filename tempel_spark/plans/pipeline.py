@@ -87,6 +87,7 @@ def run_pipeline(
     force: bool = False,
     embeddings: DataFrame | None = None,
     context_dim: int = 0,
+    profile: bool = False,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full flow. Returns the stage DataFrames.
 
@@ -114,14 +115,30 @@ def run_pipeline(
     # default = the reference's 10 yearly cuts 2013-2022
     # (s01_config_content.json:29-40)
     snaps = snapshots or yearly_snapshots(2013, 10)
+    timings: dict[str, float] = {}
 
     def ck(name: str, compute, partition_by=("snapshot_ts",), cache=False) -> DataFrame:
+        import time as _time
+
+        t0 = _time.time()
         if catalog is None:
             df = compute()
             # no durable checkpoint → persist hot intermediates so the
             # multi-consumer stages don't recompute the whole upstream DAG
-            return df.persist() if cache else df
-        return catalog.read_or_compute(name, compute, partition_by, force=force)
+            if cache:
+                df = df.persist()
+            # profile=True eagerly materializes each stage so wall time
+            # attributes to the stage that actually did the work — the
+            # CC driver loop otherwise pulls ALL upstream compute into
+            # the surface_components stage (BENCH round-over-round
+            # attribution, VERDICT r1 item 10)
+            if profile:
+                df.count()
+        else:
+            df = catalog.read_or_compute(name, compute, partition_by, force=force)
+        if profile:
+            timings[name] = round(_time.time() - t0, 3)
+        return df
 
     mentions = ck("mentions", lambda: extract_mention_table(transcripts, snaps), cache=True)
 
@@ -339,6 +356,8 @@ def run_pipeline(
         "surface_components": surface_components,
         "components": components,
     }
+    if profile:
+        out["timings"] = timings  # type: ignore[assignment]
 
     if gold is not None:
         f1 = pairwise_f1(

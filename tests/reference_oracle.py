@@ -1,14 +1,29 @@
-"""Single-node oracle re-implementing the pipeline's record-linkage
-semantics in plain Python (pandas rows + hashlib + union-find) — the
-stand-in for the reference's single-node behavior per SURVEY.md §5.3
-and BASELINE.md ("pairwise F1 vs reference clusters").
+"""Single-node INDEPENDENT-IMPLEMENTATION oracle of this engine's
+documented record-linkage semantics, in plain Python (hashlib +
+union-find). What it proves: the distributed pipeline computes its
+spec exactly (same clusters from a from-scratch sequential
+implementation sharing no Spark code) — the SURVEY.md §5.3 gate.
 
-Deliberately shares NO Spark code: blocking hashes come from hashlib,
-clustering is union-find, scoring formulas are re-typed from the
-definitions (reference formulas: ratio_edit_distance_v2
-misc/utils.py:22-26, must-link threshold s03_dataset_creator.json:44).
-Only the mention-extraction regex rules are imported, because both
-sides are specified by the same reference lines (s01:117-274).
+Scope (be precise about what "reference parity" means here): the
+scoring FORMULAS are re-typed from the reference
+(ratio_edit_distance_v2 misc/utils.py:22-26, must-link threshold 0.2
+s03_dataset_creator.json:44), but the must-link RULE deliberately
+diverges from the reference's subset-clustering rule: the reference
+also must-links on whole-word containment ANYWHERE
+(one_string_in_another, s02_alias_table_generator.py:29-47), which
+over-merges distinct entities sharing a token ("raven willow" ⊂
+"juniper raven willow"); this engine restricts the unconditional link
+to token-boundary PREFIXES and routes other containments through
+prior/context resolution (scoring.py is_partial). The reference's
+literal containment rule lives where its semantics are right —
+leakage-safe subset clustering
+(dataset_creator.assign_subsets_leakage_safe). The divergence is
+pinned explicitly by
+tests/test_operators_divergence::test_containment_rule_divergence.
+
+Blocking hashes come from hashlib, clustering is union-find; only the
+mention-extraction regex rules are imported, because both sides are
+specified by the same reference lines (s01:117-274).
 """
 
 from __future__ import annotations

@@ -1,0 +1,67 @@
+"""Pin the DOCUMENTED divergence from the reference's containment
+must-link rule (ADVICE r1: the 'parity' oracle proves spec-
+consistency, so the one deliberate spec deviation gets its own
+explicit fixture).
+
+Reference rule (s03_final_dataset_creator_utils.py:634-641 via
+one_string_in_another, s02_alias_table_generator.py:29-47): two
+mentions must-link when either whole-word-contains the other,
+ANYWHERE in the string.
+
+Engine rule (operators/scoring.py): unconditional must-link only for
+token-boundary PREFIX containment (≥2 tokens); any other token-subset
+containment is is_partial → resolved by frequency prior (+ optional
+context), because unconditional interior containment over-merges
+distinct entities sharing a token span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _score(spark, a, b):
+    from tempel_spark.operators.scoring import score_pairs
+
+    df = spark.createDataFrame([(a, b)], "norm_a string, norm_b string")
+    return score_pairs(df, "norm_a", "norm_b", prenormalized=True).first()
+
+
+def test_containment_rule_divergence(spark):
+    from tempel_spark.functions.text import whole_word_contains
+
+    # the case the rules disagree on: interior whole-word containment
+    a, b = "raven willow", "juniper raven willow"
+
+    # reference's one_string_in_another: TRUE → it would must-link
+    ref = spark.createDataFrame([(a, b)], "a string, b string").select(
+        whole_word_contains("a", "b").alias("c")
+    ).first()
+    assert ref.c is True
+
+    # engine: NOT a must-link; it is a partial (prior-resolved) pair
+    r = _score(spark, a, b)
+    assert not r.must_link
+    assert r.is_partial and not r.is_match
+
+    # the rules AGREE on prefix containment — both link
+    r2 = _score(spark, "juniper raven", "juniper raven willow")
+    assert r2.must_link
+
+
+def test_reference_containment_used_where_it_belongs(spark):
+    """The literal reference rule drives subset-clustering leakage
+    control (its original context): interior-contained surfaces of
+    ONE entity land in the same train/val/test subset."""
+    from tempel_spark.plans.dataset_creator import assign_subsets_leakage_safe
+
+    rows = [
+        ("e1", "2013-01-01", "raven willow", 5),
+        ("e1", "2013-01-01", "juniper raven willow", 4),
+        ("e1", "2013-01-01", "quartz vein", 3),
+    ]
+    stats = spark.createDataFrame(
+        rows, "entity_id string, snapshot_ts string, surface string, nr_links long"
+    )
+    out = {r.surface: r.subset for r in assign_subsets_leakage_safe(stats).collect()}
+    assert out["raven willow"] == out["juniper raven willow"]
