@@ -34,6 +34,10 @@ HEADLINE = [
     "q_cosine_topk",
     "q_asof_stable",
     "q_dedup_exact",
+    # round-2 plans: the s03 balancing pipeline (multi-stage with the
+    # unit-explosion reduction) and the SCD as-of join
+    "q_dataset_balance",
+    "q_title_scd",
 ]
 
 

@@ -147,13 +147,21 @@ def simhash_dedup(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int | None = None,
+    band_cap: int = 2_000,
 ) -> DataFrame:
     """SimHash near-dup: Hamming(simhash_a, simhash_b) ≤ max_hamming.
     Blocking = the pigeonhole bands trick: a pair within Hamming r
     must agree exactly on at least one of r+1 disjoint bands — so
     n_bands defaults to max_hamming+1 (fewer bands silently loses
     recall), and candidates come from band-key equi-joins, never a
-    cross join."""
+    cross join.
+
+    band_cap bounds any single hot band to ≤ cap·(cap−1)/2 pairs
+    (2,000 → ≤ 2×10^6 per band). A pathological band (all-zero
+    simhashes from near-empty documents) otherwise produces O(n²) at
+    web scale; members past the cap are hash-ranked out
+    deterministically — lower recall on that one degenerate band,
+    never a blowup."""
     n_bands = n_bands or (max_hamming + 1)
     bits_per_band = 60 // n_bands
     with_hash = df.select(id_col, simhash64(text_col).alias("_sh"))
@@ -168,7 +176,7 @@ def simhash_dedup(
     blocked = bands[0]
     for x in bands[1:]:
         blocked = blocked.unionByName(x)
-    pairs = candidate_pairs(blocked, ["_band"], id_col, ["_sh"], cap=10_000, group_cols=[])
+    pairs = candidate_pairs(blocked, ["_band"], id_col, ["_sh"], cap=band_cap, group_cols=[])
     ham = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
     return (
         pairs.withColumn("hamming", ham)

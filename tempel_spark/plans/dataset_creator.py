@@ -59,8 +59,29 @@ __all__ = [
     "balanced_quotas",
     "allocate_mentions",
     "select_mention_instances",
+    "stats_from_pipeline",
     "create_dataset",
 ]
+
+
+def stats_from_pipeline(pipeline_out: dict) -> DataFrame:
+    """Bridge the ER pipeline's artifacts into this plan's alias-stats
+    shape: entity_id = the resolved cluster (the reference's
+    qid-analogue once linking has run), surface frequency = nr_links.
+    This is the reference's own composition — s03 consumes s02's
+    per-(mention, entity) link stats, which are exactly
+    (surface, cluster, count) after resolution."""
+    res = pipeline_out
+    return (
+        res["surfaces"]
+        .join(res["surface_components"], ["snapshot_ts", "surface"])
+        .select(
+            F.col("component").alias("entity_id"),
+            "snapshot_ts",
+            "surface",
+            F.col("n_mentions").alias("nr_links"),
+        )
+    )
 
 _SEP = "\x1f"
 DEFAULT_SUBSETS = ("train", "validation", "test")
@@ -335,6 +356,7 @@ def create_dataset(
     subsets: tuple[str, ...] = DEFAULT_SUBSETS,
     filters: dict | None = None,
     must_link_ratio: float = 0.2,
+    containment_links: bool = True,
     max_mentions_per_entity: int = 0,
     n_snapshots: int | None = None,
     seed: int = 42,
@@ -343,10 +365,17 @@ def create_dataset(
     """The composed s03 plan. Returns every stage (for checkpointing /
     inspection); optionally fan-out-writes the final mention rows per
     (snapshot_ts, subset) like the reference's per-(cut,subset) JSONL
-    sinks (S8)."""
+    sinks (S8).
+
+    containment_links / must_link_ratio tune the leakage rule to the
+    corpus: the reference's containment link is right for Wikipedia
+    aliases; over ER-resolved clusters whose members are lexically
+    similar by construction it can collapse every entity into one
+    subset-cluster (then keep_fully_covered drops everything) —
+    disable it and/or reduce the subset count there."""
     filtered = apply_quality_filters(stats, filters) if filters else stats
     common = entities_in_all_snapshots(filtered, n_snapshots)
-    assigned = assign_subsets_leakage_safe(common, subsets, must_link_ratio)
+    assigned = assign_subsets_leakage_safe(common, subsets, must_link_ratio, containment_links)
     covered = keep_fully_covered(assigned, n_subsets=len(subsets))
     quotas = balanced_quotas(covered, max_mentions_per_entity, seed=seed)
     allocations = allocate_mentions(covered, quotas)

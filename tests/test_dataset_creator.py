@@ -203,3 +203,53 @@ def test_dataset_end_to_end_with_mentions(spark, tmp_path):
     assert parts
     sub = os.listdir(os.path.join(path, parts[0]))
     assert any(s.startswith("subset=") for s in sub)
+
+
+def test_dataset_from_er_pipeline(spark, tmp_path):
+    """The reference's own composition: ER pipeline output (s01/s02
+    analogue) feeds the dataset creator (s03). Entities = resolved
+    clusters; quotas balance across cuts; fan-out lands per
+    (snapshot, subset)."""
+    from tempel_spark.plans.dataset_creator import create_dataset, stats_from_pipeline
+    from tempel_spark.plans.pipeline import run_pipeline
+    from tempel_spark.synth import synth_transcripts
+
+    snaps = [f"{y}-01-01 00:00:00" for y in (2013, 2014, 2015, 2016)]
+    trans = synth_transcripts(spark, n_convs=120, n_entities=16, n_snapshots=3)
+    res = run_pipeline(spark, trans, snapshots=snaps)
+    stats = stats_from_pipeline(res)
+
+    occurrences = res["mentions"].join(
+        trans.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
+    )
+    path = str(tmp_path / "ds")
+    # ER-resolved clusters hold lexically-similar members by
+    # construction → the reference's containment link would collapse
+    # each entity to one subset-cluster; corpus-appropriate leakage
+    # config is ratio-only must-links and a train/test split
+    ds = create_dataset(
+        stats,
+        mentions=occurrences,
+        subsets=("train", "test"),
+        containment_links=False,
+        max_mentions_per_entity=30,
+        fanout_path=path,
+    )
+
+    quotas = ds["quotas"].cache()
+    totals = (
+        quotas.groupBy("subset", "snapshot_ts").agg(F.sum("quota").alias("t"))
+        .groupBy("subset").agg(F.countDistinct("t").alias("k")).collect()
+    )
+    assert totals and all(r.k == 1 for r in totals)
+    assert quotas.filter("quota <= 0").count() == 0
+
+    dm = ds["dataset_mentions"].cache()
+    assert dm.count() > 0
+    # every emitted mention row has real context cut from the turn text
+    assert dm.filter(F.col("context_right") == "").count() == 0
+    # fan-out directory structure exists
+    import os
+
+    parts = [p for p in os.listdir(path) if p.startswith("snapshot_ts=")]
+    assert parts
