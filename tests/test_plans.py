@@ -76,3 +76,20 @@ def test_scoring_normalize_not_reexecuted(spark):
     for line in opt.splitlines():
         if "lambdafunction" in line:
             assert "regexp_replace" not in line, line[:200]
+
+
+def test_extraction_anchor_prefilter(spark):
+    """The JVM-side Contains(text, '[[') filter must sit below the
+    Arrow extraction — anchor-free turns never cross into Python."""
+    from tempel_spark.plans.pipeline import extract_mention_table
+    from tempel_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=5, n_entities=4, n_snapshots=2)
+    m = extract_mention_table(t, ["2013-01-01 00:00:00", "2016-01-01 00:00:00"])
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    # the predicate must appear BELOW (after, in toString order) the
+    # MapInPandas node — i.e. evaluated before rows reach Python.
+    # Catalyst may fold it into a join condition or inline the text
+    # expression, so match the Contains predicate itself.
+    below_arrow = plan.split("MapInPandas", 1)[-1]
+    assert "Contains(" in below_arrow, plan[:1500]
