@@ -70,15 +70,24 @@ def asof_stable_version(
           (:287) OR **exceeds every earlier revision's lifetime**
           (the running max_time_lapse_between_revisions branch,
           :286-293 — a revision that out-lived all predecessors is
-          trusted even when young).
+          trusted even when young); or
+      (c) r is the stream's NEWEST revision (no successor at all)
+          and at end-of-stream its age at the cut stands in for its
+          lifetime: secured iff some lapse was recorded (running max
+          > 0) AND (running max ≤ age-at-cut OR age-at-cut ≥
+          min_days_stable) — the reader's finalization block
+          (:370-383). (When a post-cut successor exists the
+          finalization no-ops: its lapse-to-cut is negative.)
 
     The reader's running max is a sequential fold, but it reduces to
     a prefix-max window: a lifetime that does not trigger the branch
     is ≤ the running max, so the running max always equals the max of
-    ALL prior lifetimes. The winner per (key, cut) is the secured
-    revision with the latest ts (the fold's last securing event);
-    when nothing is secured, the FIRST revision ≤ cut is kept
+    ALL prior in-regime lifetimes. The winner per (key, cut) is the
+    secured revision with the latest ts (the fold's last securing
+    event); when nothing is secured, the FIRST revision ≤ cut is kept
     unconditionally ("IF it is the first one, puts it anyway").
+    Parity with the literal sequential fold is property-tested
+    (tests/test_asof_reference_fold.py).
     """
     snaps = snapshots or yearly_snapshots()
     spark = revisions.sparkSession
@@ -110,13 +119,30 @@ def asof_stable_version(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cand = cand.withColumn("_lived", lived_secs).withColumn("_in_regime", in_regime)
-    runmax_before = F.max(F.when(F.col("_in_regime"), F.col("_lived"))).over(w_prefix)
-    stable = (age_days > max_look_back_days) | (
-        F.col("_in_regime")
-        & (
-            (F.col("_lived") >= min_days_stable * 86400)
-            | (F.col("_lived") > F.coalesce(runmax_before, F.lit(0)))
+    runmax_before = F.coalesce(
+        F.max(F.when(F.col("_in_regime"), F.col("_lived"))).over(w_prefix), F.lit(0)
+    )
+    age_secs = F.unix_timestamp("snapshot_ts") - F.unix_timestamp(rev_ts_col)
+    # (c): end-of-stream finalization for the un-superseded newest
+    # revision — age-at-cut stands in for lifetime, gated on a
+    # recorded lapse (reader:370-383; lapse-to-cut of a post-cut
+    # last-processed revision is negative, so those no-op there and
+    # here _next_ts is non-null for them anyway)
+    final_secured = (
+        F.col("_next_ts").isNull()
+        & (runmax_before > 0)
+        & ((runmax_before <= age_secs) | (age_secs >= min_days_stable * 86400))
+    )
+    stable = (
+        (age_days > max_look_back_days)
+        | (
+            F.col("_in_regime")
+            & (
+                (F.col("_lived") >= min_days_stable * 86400)
+                | (F.col("_lived") > runmax_before)
+            )
         )
+        | final_secured
     )
 
     # one window: secured rows first (latest wins), else earliest row —

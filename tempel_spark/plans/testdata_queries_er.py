@@ -129,12 +129,16 @@ def q_overlap_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM life l JOIN cuts c ON l.ts <= c.snapshot_ts),
     sec AS (
       SELECT *,
-             old_at_cut OR (in_regime AND (
-               lived >= 86400 OR
-               lived > coalesce(max(CASE WHEN in_regime THEN lived END) OVER (
-                 PARTITION BY user_id, snapshot_ts ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS stable
-      FROM cand)
+             old_at_cut
+             OR (in_regime AND (lived >= 86400 OR lived > runmax))
+             OR (next_ts IS NULL AND runmax > 0
+                 AND (runmax <= epoch(snapshot_ts) - epoch(ts)
+                      OR epoch(snapshot_ts) - epoch(ts) >= 86400)) AS stable
+      FROM (SELECT *,
+              coalesce(max(CASE WHEN in_regime THEN lived END) OVER (
+                PARTITION BY user_id, snapshot_ts ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS runmax
+            FROM cand))
     SELECT user_id, snapshot_ts, event_id, ts
     FROM (SELECT user_id, snapshot_ts, event_id, ts,
                  row_number() OVER (
