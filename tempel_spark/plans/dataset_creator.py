@@ -57,10 +57,14 @@ __all__ = [
     "assign_subsets_leakage_safe",
     "keep_fully_covered",
     "balanced_quotas",
+    "balanced_quotas_positional",
+    "assign_birth_cut",
+    "equalize_entity_counts",
     "allocate_mentions",
     "select_mention_instances",
     "stats_from_pipeline",
     "create_dataset",
+    "create_new_entities_dataset",
 ]
 
 
@@ -311,6 +315,190 @@ def allocate_mentions(assigned: DataFrame, quotas: DataFrame) -> DataFrame:
     return out.filter(F.col("n_to_extract") > 0).select(
         "entity_id", "snapshot_ts", "subset", "surface", "_cap", "quota", "n_to_extract"
     ).withColumnRenamed("_cap", "nr_links")
+
+
+def assign_birth_cut(
+    stats: DataFrame, created: DataFrame, snapshots: list[str]
+) -> DataFrame:
+    """NEW-entity scoping (s03:621-684): an entity belongs to the cut
+    whose window (prev_cut, cut] contains its creation time, and only
+    its rows IN that cut survive. created: (entity_id, created_ts)."""
+    from tempel_spark.operators.asof import assign_snapshot
+
+    birth = assign_snapshot(created, "created_ts", snapshots).select(
+        "entity_id", F.col("snapshot_ts").alias("_birth_cut")
+    )
+    return (
+        stats.join(F.broadcast(birth), "entity_id")
+        .filter(F.col("snapshot_ts") == F.col("_birth_cut"))
+        .drop("_birth_cut")
+    )
+
+
+def equalize_entity_counts(
+    assigned: DataFrame, seed: int = 42, portable_hash: bool = False
+) -> DataFrame:
+    """s03:845-883: every cut keeps the same number of NEW entities —
+    cuts above the minimum are downsampled. Deterministic hash-rank
+    sample (the reference uses unseeded df.sample; R1 discipline).
+    portable_hash=True ranks by md5 instead of xxhash64 so the pick is
+    reproducible in ANSI-SQL oracles (q_dataset_new_balance)."""
+    per_cut = assigned.select("snapshot_ts", "entity_id").distinct()
+    counts = per_cut.groupBy("snapshot_ts").agg(F.count(F.lit(1)).alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("m")).collect()[0]["m"]
+    rank_u = (
+        md5_uniform(F.col("entity_id").cast("string"), seed=seed + 3)
+        if portable_hash
+        else hash_uniform("entity_id", seed=seed + 3)
+    )
+    w = Window.partitionBy("snapshot_ts").orderBy(
+        rank_u.asc(), F.col("entity_id").asc()
+    )
+    keep = (
+        per_cut.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= min_n)
+        .select("snapshot_ts", "entity_id")
+    )
+    return assigned.join(keep, ["snapshot_ts", "entity_id"])
+
+
+def balanced_quotas_positional(
+    assigned: DataFrame,
+    max_mentions_per_entity: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """The NEW-entities V3 balancing (s03:894-1033): entities are NOT
+    shared across cuts, so the surplus of a (subset, cut) row is
+    measured against the SAME-RANK row of the subset's min-total cut
+    (both sides ranked by capped link count desc — the reference's
+    new_id positional join), then each cut is reduced to the
+    min-total by the deterministic weighted unit race.
+
+    Divergence from the reference, documented: when a cut has MORE
+    ranked rows than the min cut (possible when per-subset coverage
+    differs), unpaired rows may be reduced to zero and are dropped —
+    the reference's inner positional join silently assumes equal rank
+    counts (its assert would fail otherwise). Totals per (subset,
+    cut) land EXACTLY on the subset minimum either way.
+
+    Output: (entity_id, snapshot_ts, subset, quota ≥ 1).
+    """
+    n0 = assigned.groupBy("entity_id", "snapshot_ts", "subset").agg(
+        F.sum("nr_links").alias("_n")
+    )
+    if max_mentions_per_entity > 0:
+        n0 = n0.withColumn("_n", F.least(F.col("_n"), F.lit(max_mentions_per_entity)))
+
+    w_rank = Window.partitionBy("subset", "snapshot_ts").orderBy(
+        F.col("_n").desc(), F.col("entity_id").cast("string").asc()
+    )
+    d = n0.withColumn("_rank", F.row_number().over(w_rank)).withColumn(
+        "_total", F.sum("_n").over(Window.partitionBy("subset", "snapshot_ts"))
+    )
+    # the subset's min-total cut and its per-rank values
+    tot = d.select("subset", "snapshot_ts", "_total").distinct()
+    w_min = Window.partitionBy("subset").orderBy(
+        F.col("_total").asc(), F.col("snapshot_ts").cast("string").asc()
+    )
+    min_cut = (
+        tot.withColumn("_mr", F.row_number().over(w_min))
+        .filter(F.col("_mr") == 1)
+        .select(
+            F.col("subset").alias("_ms"),
+            F.col("snapshot_ts").alias("_min_cut"),
+            F.col("_total").alias("_target"),
+        )
+    )
+    ref_rank = (
+        d.join(
+            min_cut,
+            (F.col("subset") == F.col("_ms")) & (F.col("snapshot_ts") == F.col("_min_cut")),
+        )
+        .select("subset", "_rank", F.col("_n").alias("_n_ref"))
+    )
+    d = (
+        d.join(F.broadcast(min_cut.withColumnRenamed("_ms", "subset")), "subset")
+        .join(F.broadcast(ref_rank), ["subset", "_rank"], "left")
+        .withColumn(
+            "_diff",
+            F.when(
+                F.col("snapshot_ts") == F.col("_min_cut"), F.lit(0)
+            ).otherwise(
+                # unpaired ranks (no min-cut twin) may go to zero
+                F.greatest(F.col("_n") - F.coalesce("_n_ref", F.lit(0)), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn("_reduce", F.col("_total") - F.col("_target"))
+    )
+    units = d.filter(F.col("_diff") > 0).select(
+        "entity_id", "snapshot_ts", "subset", "_reduce",
+        F.posexplode(F.sequence(F.lit(1), F.col("_diff"))).alias("_pos", "_unit"),
+    )
+    race = md5_uniform(
+        F.concat_ws(
+            ":", F.lit("new"), F.col("entity_id").cast("string"),
+            F.col("snapshot_ts").cast("string"), "subset", F.col("_unit").cast("string"),
+        ),
+        seed=seed,
+    )
+    w_units = Window.partitionBy("subset", "snapshot_ts").orderBy(
+        race.asc(), F.col("entity_id").cast("string").asc(), F.col("_unit").asc()
+    )
+    dropped = (
+        units.withColumn("_urn", F.row_number().over(w_units))
+        .filter(F.col("_urn") <= F.col("_reduce"))
+        .groupBy("entity_id", "snapshot_ts", "subset")
+        .agg(F.count(F.lit(1)).alias("_removed"))
+    )
+    return (
+        d.join(dropped, ["entity_id", "snapshot_ts", "subset"], "left")
+        .select(
+            "entity_id", "snapshot_ts", "subset",
+            (F.col("_n") - F.coalesce("_removed", F.lit(0))).cast("long").alias("quota"),
+        )
+        .filter(F.col("quota") > 0)
+    )
+
+
+def create_new_entities_dataset(
+    stats: DataFrame,
+    created: DataFrame,
+    snapshots: list[str],
+    mentions: DataFrame | None = None,
+    subsets: tuple[str, ...] = DEFAULT_SUBSETS,
+    filters: dict | None = None,
+    must_link_ratio: float = 0.2,
+    containment_links: bool = True,
+    max_mentions_per_entity: int = 0,
+    seed: int = 42,
+    fanout_path: str | None = None,
+) -> dict[str, DataFrame]:
+    """The reference's NEW-entities category (s03:616-1036): entities
+    scoped to their birth cut, per-cut entity counts equalized, then
+    subset quotas balanced across cuts positionally. Same downstream
+    allocation / instance pick / fan-out as the continual flow."""
+    filtered = apply_quality_filters(stats, filters) if filters else stats
+    scoped = assign_birth_cut(filtered, created, snapshots)
+    assigned = assign_subsets_leakage_safe(scoped, subsets, must_link_ratio, containment_links)
+    covered = keep_fully_covered(assigned, n_subsets=len(subsets))
+    equalized = equalize_entity_counts(covered, seed=seed)
+    quotas = balanced_quotas_positional(equalized, max_mentions_per_entity, seed=seed)
+    allocations = allocate_mentions(equalized, quotas)
+    out = {
+        "scoped": scoped,
+        "assigned": assigned,
+        "covered": covered,
+        "equalized": equalized,
+        "quotas": quotas,
+        "allocations": allocations,
+    }
+    if mentions is not None:
+        out["dataset_mentions"] = select_mention_instances(mentions, allocations, seed=seed)
+        if fanout_path is not None:
+            from tempel_spark.sources.sinks import write_fanout
+
+            write_fanout(out["dataset_mentions"], fanout_path)
+    return out
 
 
 def select_mention_instances(

@@ -197,6 +197,124 @@ def q_dataset_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEW_STATS = """
+  nstats AS (
+    SELECT o_custkey AS entity_id, 1995 + (o_custkey % 3) AS snapshot_ts,
+           o_orderpriority AS surface, count(*) AS nr_links
+    FROM orders GROUP BY 1, 2, 3),
+  ncw AS (SELECT entity_id, surface, sum(nr_links) AS w FROM nstats GROUP BY 1, 2),
+  nassign AS (
+    SELECT entity_id, surface,
+           (['train','validation','test'])[
+             ((dense_rank() OVER (PARTITION BY entity_id ORDER BY w DESC, surface) - 1) % 3) + 1
+           ] AS subset
+    FROM ncw),
+  nlabeled AS (
+    SELECT s.entity_id, s.snapshot_ts, s.surface, s.nr_links, a.subset
+    FROM nstats s JOIN nassign a USING (entity_id, surface)),
+  ncov AS (
+    SELECT entity_id FROM (
+      SELECT entity_id, count(DISTINCT subset) AS ns FROM nlabeled GROUP BY 1)
+    WHERE ns = 3),
+  ncovered AS (SELECT * FROM nlabeled WHERE entity_id IN (SELECT entity_id FROM ncov)),
+  eq AS (
+    SELECT snapshot_ts, entity_id FROM (
+      SELECT snapshot_ts, entity_id,
+             row_number() OVER (
+               PARTITION BY snapshot_ts
+               ORDER BY ('0x' || substr(md5('u45:' || entity_id::VARCHAR), 1, 15))::BIGINT
+                          / 1152921504606846976.0,
+                        entity_id) AS rn
+      FROM (SELECT DISTINCT snapshot_ts, entity_id FROM ncovered))
+    WHERE rn <= (SELECT min(c) FROM (
+       SELECT count(DISTINCT entity_id) AS c FROM ncovered GROUP BY snapshot_ts))),
+  nequal AS (SELECT n.* FROM ncovered n JOIN eq USING (snapshot_ts, entity_id)),
+  nn0 AS (
+    SELECT entity_id, snapshot_ts, subset, least(sum(nr_links), {cap}) AS n
+    FROM nequal GROUP BY 1, 2, 3),
+  nd AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY subset, snapshot_ts
+                              ORDER BY n DESC, entity_id::VARCHAR) AS rnk,
+           sum(n) OVER (PARTITION BY subset, snapshot_ts) AS total
+    FROM nn0),
+  nmin AS (
+    SELECT subset AS ms, snapshot_ts AS min_cut, total AS target FROM (
+      SELECT subset, snapshot_ts, total,
+             row_number() OVER (PARTITION BY subset
+                                ORDER BY total, snapshot_ts::VARCHAR) AS mr
+      FROM (SELECT DISTINCT subset, snapshot_ts, total FROM nd))
+    WHERE mr = 1),
+  nref AS (
+    SELECT d.subset, d.rnk, d.n AS n_ref
+    FROM nd d JOIN nmin m ON d.subset = m.ms AND d.snapshot_ts = m.min_cut),
+  nd2 AS (
+    SELECT d.*, m.min_cut, m.target, d.total - m.target AS reduce,
+           CASE WHEN d.snapshot_ts = m.min_cut THEN 0
+                ELSE greatest(d.n - coalesce(r.n_ref, 0), 0) END AS diff
+    FROM nd d
+    JOIN nmin m ON d.subset = m.ms
+    LEFT JOIN nref r ON d.subset = r.subset AND d.rnk = r.rnk),
+  nunits AS (
+    SELECT entity_id, snapshot_ts, subset, reduce, u.unit,
+           ('0x' || substr(md5('u42:new:' || entity_id::VARCHAR || ':' || snapshot_ts::VARCHAR
+                                || ':' || subset || ':' || u.unit::VARCHAR), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS race
+    FROM nd2, unnest(range(1, CAST(diff + 1 AS BIGINT))) AS u(unit)
+    WHERE diff > 0),
+  ndropped AS (
+    SELECT entity_id, snapshot_ts, subset, count(*) AS removed FROM (
+      SELECT *, row_number() OVER (PARTITION BY subset, snapshot_ts
+                                   ORDER BY race, entity_id::VARCHAR, unit) AS urn
+      FROM nunits)
+    WHERE urn <= reduce GROUP BY 1, 2, 3)
+""".strip()
+
+
+@register(
+    "q_dataset_new_balance",
+    f"""
+    WITH {_NEW_STATS.format(cap=25)}
+    SELECT subset, snapshot_ts,
+           CAST(sum(CASE WHEN n - COALESCE(removed, 0) > 0
+                         THEN n - COALESCE(removed, 0) END) AS BIGINT) AS total_quota,
+           count(CASE WHEN n - COALESCE(removed, 0) > 0 THEN 1 END) AS n_entities
+    FROM nd2 LEFT JOIN ndropped USING (entity_id, snapshot_ts, subset)
+    GROUP BY 1, 2
+    """,
+)
+def q_dataset_new_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEW-entities category balancing (s03:616-1036) oracle-
+    checked: birth cut synthesized as 1995 + custkey % 3 (the birth-
+    cut ASSIGNMENT from created_ts is pytest-covered; the SQL checks
+    the equalization + positional reduction math), entity counts
+    equalized per cut by portable md5 rank, per-subset totals reduced
+    to the subset's min cut via rank-paired weighted unit races."""
+    from tempel_spark.plans.dataset_creator import (
+        assign_subsets_leakage_safe,
+        balanced_quotas_positional,
+        equalize_entity_counts,
+        keep_fully_covered,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    stats = o.groupBy(
+        F.col("o_custkey").alias("entity_id"),
+        (F.lit(1995) + F.col("o_custkey") % 3).alias("snapshot_ts"),
+        F.col("o_orderpriority").alias("surface"),
+    ).agg(F.count(F.lit(1)).alias("nr_links"))
+    assigned = assign_subsets_leakage_safe(
+        stats, subsets=_SUBS, must_link_ratio=0.0, containment_links=False
+    )
+    covered = keep_fully_covered(assigned, n_subsets=_N_SUBSETS)
+    equalized = equalize_entity_counts(covered, seed=42, portable_hash=True)
+    quotas = balanced_quotas_positional(equalized, max_mentions_per_entity=25, seed=42)
+    return quotas.groupBy("subset", "snapshot_ts").agg(
+        F.sum("quota").cast("long").alias("total_quota"),
+        F.count(F.lit(1)).alias("n_entities"),
+    )
+
+
 @register(
     "q_title_scd",
     """

@@ -253,3 +253,72 @@ def test_dataset_from_er_pipeline(spark, tmp_path):
 
     parts = [p for p in os.listdir(path) if p.startswith("snapshot_ts=")]
     assert parts
+
+
+def test_new_entities_dataset(spark):
+    """The NEW-entities category (s03:616-1036): birth-cut scoping,
+    per-cut entity-count equalization, positional cross-cut
+    balancing — totals per (subset, cut) land on the subset minimum."""
+    from tempel_spark.plans.dataset_creator import (
+        assign_birth_cut,
+        create_new_entities_dataset,
+    )
+
+    cuts = [f"{y}-01-01 00:00:00" for y in (2013, 2014, 2015)]
+    rows, created = [], []
+    # 9 entities born across 3 cuts (3 per cut), each with 3 surfaces
+    # in every cut from birth on — only the birth cut's rows count
+    for i in range(9):
+        birth_year = 2013 + (i % 3)
+        created.append((f"n{i}", f"{birth_year - 1}-06-01 00:00:00"))
+        for y in range(birth_year, 2016):
+            for s, links in [("Able Co", 4 + i), ("Baker Inc", 3 + i), ("Cable Ltd", 2 + i)]:
+                rows.append((f"n{i}", f"{y}-01-01 00:00:00", f"{s} {i}", links))
+    stats = spark.createDataFrame(
+        rows, "entity_id string, snapshot_ts string, surface string, nr_links long"
+    ).withColumn("snapshot_ts", F.to_timestamp("snapshot_ts"))
+    cdf = spark.createDataFrame(created, "entity_id string, created_ts string").withColumn(
+        "created_ts", F.to_timestamp("created_ts")
+    )
+
+    # birth scoping: every surviving row sits in its entity's birth cut
+    scoped = assign_birth_cut(stats, cdf, cuts)
+    births = {r.entity_id: str(r.snapshot_ts)[:4] for r in scoped.select("entity_id", "snapshot_ts").distinct().collect()}
+    for i in range(9):
+        assert births[f"n{i}"] == str(2013 + (i % 3))
+    assert scoped.select("entity_id", "snapshot_ts").distinct().count() == 9
+
+    res = create_new_entities_dataset(
+        stats, cdf, cuts, subsets=("train", "validation", "test"),
+        containment_links=False, max_mentions_per_entity=8,
+    )
+    quotas = res["quotas"].cache()
+    # entity counts equal per cut after equalization
+    per_cut = (
+        res["equalized"].select("snapshot_ts", "entity_id").distinct()
+        .groupBy("snapshot_ts").count().select("count").distinct().collect()
+    )
+    assert len(per_cut) == 1
+    # per-subset totals equal across cuts, all quotas >= 1
+    t = (
+        quotas.groupBy("subset", "snapshot_ts").agg(F.sum("quota").alias("t"))
+        .groupBy("subset").agg(F.countDistinct("t").alias("k")).collect()
+    )
+    assert t and all(r.k == 1 for r in t)
+    assert quotas.filter("quota < 1").count() == 0
+    # allocations within caps and summing to quotas
+    al = res["allocations"]
+    assert al.filter(F.col("n_to_extract") > F.col("nr_links")).count() == 0
+    bad = (
+        al.groupBy("entity_id", "snapshot_ts", "subset")
+        .agg(F.sum("n_to_extract").alias("got"), F.first("quota").alias("want"))
+        .filter("got != want").count()
+    )
+    assert bad == 0
+
+    # determinism
+    res2 = create_new_entities_dataset(
+        stats, cdf, cuts, subsets=("train", "validation", "test"),
+        containment_links=False, max_mentions_per_entity=8,
+    )
+    assert sorted(map(tuple, quotas.collect())) == sorted(map(tuple, res2["quotas"].collect()))
