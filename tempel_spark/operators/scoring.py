@@ -6,10 +6,17 @@ Jaro-Winkler (pandas UDF) + token-set Levenshtein ratio (native
 Jaccard + optional cached-embedding cosine (native zip_with dot,
 reference biencoder.py:105-123).
 
-The must-link rule reproduces the reference's subset-clustering
-must-link: ratio_edit_distance < 0.2 OR whole-token containment
-(s03_final_dataset_creator_utils.py:611-665, threshold
-s03_dataset_creator.json:44-46).
+The must-link rule is the reference's edit-ratio threshold
+(ratio_edit_distance < 0.2, s03_dataset_creator.json:44-46). The
+reference's OTHER must-link — whole-word containment
+(s03_final_dataset_creator_utils.py:611-665) — is deliberately NOT an
+unconditional link here: a contained shortening with several
+completions welds entities together transitively (see score_pairs);
+containment-shaped pairs resolve by alias-table prior rank instead
+(s02:434-440), the same way the reference's own linking stage ranks
+candidates. The literal containment rule is used where its semantics
+are right: subset-clustering leakage control
+(plans/dataset_creator.assign_subsets_leakage_safe).
 
 Everything except Jaro-Winkler is whole-stage-codegen; the UDF is
 Arrow-batched (no per-row Python).
@@ -100,34 +107,33 @@ def score_pairs(
 
     ta, tb = F.split(na, " "), F.split(nb, " ")
     subset = (F.size(F.array_except(ta, tb)) == 0) | (F.size(F.array_except(tb, ta)) == 0)
-    n_small = F.least(F.size(ta), F.size(tb))
 
-    # multi-token must-link requires a token-boundary PREFIX
-    # ("yonder onyx" + ' ' prefixes "yonder onyx alpha"), NOT a mere
-    # token-set subset: subsets over-merge distinct entities that share
-    # a token multiset ({juniper, raven} ⊂ {juniper, raven, willow};
-    # "meridian meridian" ⊆ "meridian prairie" after distinct) — found
-    # as the dominant precision loss in cluster audits.
-    prefix_ml = (
-        nb.startswith(F.concat(na, F.lit(" "))) | na.startswith(F.concat(nb, F.lit(" ")))
-    ) & (n_small >= 2)
-    must_link = (F.col("ratio_edit_distance") < MUST_LINK_RATIO) | prefix_ml
+    # must-link is the reference's ratio rule ALONE
+    # (ratio_edit_distance < 0.2, s03_dataset_creator.json:44). Two
+    # earlier broader rules both over-merged and were retired after
+    # cluster audits: token-SET subset (round 1 — {juniper, raven} ⊂
+    # {juniper, raven, willow} bridges entities) and unconditional
+    # token-boundary PREFIX (round 2 at scale — a shortening with
+    # SEVERAL completions, e.g. "alpha bravo" from two "alpha bravo
+    # …" entities, transitively welds every completion into one
+    # mega-cluster: observed 188 components where ~24k were gold).
+    must_link = F.col("ratio_edit_distance") < MUST_LINK_RATIO
 
     # PARTIAL pairs — a token-set subset with DIFFERENT token counts
     # that is not a must-link ("falcon" ⊆ "falcon krypton",
-    # "juniper raven" ⊆ {juniper, juniper, raven}) — are inherently
+    # "alpha bravo" ⊆ "alpha bravo xenon") — are inherently
     # AMBIGUOUS: the short side could complete to several entities,
     # and its distinct-token jaccard is inflated by construction
     # (often 1.0), so letting the generic score threshold hard-match
-    # it bridges entities (round-2 cluster audit: "Juniper"↔
-    # "Juniper Juniper" at 0.79 and "Juniper Raven"↔"Juniper Juniper
-    # Raven" at 0.84 were the dominant over-merges). Partials NEVER
-    # hard-match; they resolve like the reference's alias-table prior
-    # rank (prior_rank = 1 wins, s02:434-440) via abbreviation_edges,
-    # optionally re-ranked per occurrence by context
-    # (context_disambig). EQUAL-count subsets (word swaps "granite
-    # ember"↔"ember granite", or duplicate-token degenerates) are NOT
-    # shortenings — they stay on the plain score path.
+    # it bridges entities. Partials NEVER hard-match; each short side
+    # links to its TOP-1 completion like the reference's alias-table
+    # prior rank (prior_rank = 1 wins, s02:434-440) via
+    # abbreviation_edges — which resolves a UNIQUE completion
+    # identically to a would-be prefix must-link — optionally
+    # re-ranked per occurrence by context (context_disambig).
+    # EQUAL-count subsets (word swaps "granite ember"↔"ember
+    # granite", or duplicate-token degenerates) are NOT shortenings —
+    # they stay on the plain score path.
     is_partial = subset & ~must_link & (F.size(ta) != F.size(tb))
     return (
         out.withColumn("score", score.cast("double"))

@@ -44,6 +44,7 @@ from tempel_spark.functions.mentions import extract_mentions_pandas
 from tempel_spark.operators.asof import assign_snapshot, yearly_snapshots
 from tempel_spark.operators.blocking import (
     candidate_pairs,
+    cap_block_size,
     first_token_key,
     lsh_band_blocks,
     norm_key,
@@ -97,10 +98,10 @@ def run_pipeline(
 
     embeddings: optional cached surface embeddings
     (snapshot_ts, surface, embedding array<float>) — the reference's
-    s05 entity-encoding tables. When given, scoring adds the cosine
-    feature (score reweighted, see score_pairs). The embedding table
-    is vocabulary-sized → broadcast onto the pair sides, no shuffle
-    of the pair table.
+    s05 entity-encoding tables. The `surface` key must be the
+    NORMALIZED surface (blocking.norm_key), since all pairwise work
+    runs on the norm vocabulary. When given, scoring adds the cosine
+    feature (score reweighted, see score_pairs).
 
     context_dim: > 0 enables per-occurrence context disambiguation of
     ambiguous abbreviations (operators/context_disambig.py) — the
@@ -158,16 +159,31 @@ def run_pipeline(
         cache=True,
     )
 
+    # ---- second pivot: NORM vocabulary -------------------------------
+    # same-norm surfaces ("Granite Ember"/"granite ember"/
+    # "Granite_Ember") are must-links with ratio 0 by definition, and
+    # scoring them pairwise is pure waste — worse, every variant PAIR
+    # of two norms re-scores the same norm pair (measured 2.2× pair
+    # duplication on the synthetic corpus). All pairwise work runs on
+    # distinct norms; frequencies aggregate per norm, which is exactly
+    # the reference's alias-table granularity (mentions normalized
+    # BEFORE stats, s02:253-267). Surfaces map back to norm clusters
+    # afterwards, relabeled to min(surface) so component ids stay
+    # actual surfaces.
+    norms = ck(
+        "norms",
+        lambda: surfaces.groupBy("snapshot_ts", "norm").agg(
+            F.sum("n_mentions").alias("n_mentions")
+        ),
+        cache=True,
+    )
+
     def _blocks() -> DataFrame:
-        exact = surfaces.select(
-            "snapshot_ts", "surface", "norm", "n_mentions",
-            F.concat(F.lit("N:"), F.col("norm")).alias("block_key"),
-        )
         # order-insensitive token signature: catches token swaps
-        # ("Ember Granite" ↔ "Granite Ember") the exact key misses
+        # ("Ember Granite" ↔ "Granite Ember") norm equality misses
         sorted_key = F.array_join(F.array_sort(F.array_distinct(F.split(F.col("norm"), " "))), " ")
-        stoken = surfaces.select(
-            "snapshot_ts", "surface", "norm", "n_mentions",
+        stoken = norms.select(
+            "snapshot_ts", "norm", "n_mentions",
             F.concat(F.lit("S:"), sorted_key).alias("block_key"),
         )
         # first-2-tokens prefix key: drop-last-token shortenings
@@ -177,48 +193,70 @@ def run_pipeline(
         # single-token abbreviations go through the bipartite
         # first-token block below.
         ntok_all = F.size(F.split(F.col("norm"), " "))
-        pfx = surfaces.filter(ntok_all >= 2).select(
-            "snapshot_ts", "surface", "norm", "n_mentions",
+        pfx = norms.filter(ntok_all >= 2).select(
+            "snapshot_ts", "norm", "n_mentions",
             F.concat(
                 F.lit("P:"), F.array_join(F.slice(F.split(F.col("norm"), " "), 1, 2), " ")
             ).alias("block_key"),
         )
-        lsh = lsh_band_blocks(surfaces, "norm", n_hashes=lsh_hashes, bands=lsh_bands, normalize=False).select(
-            "snapshot_ts", "surface", "norm", "n_mentions",
+        lsh = lsh_band_blocks(norms, "norm", n_hashes=lsh_hashes, bands=lsh_bands, normalize=False).select(
+            "snapshot_ts", "norm", "n_mentions",
             F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
         )
-        return exact.unionByName(stoken).unionByName(pfx).unionByName(lsh)
+        return stoken.unionByName(pfx).unionByName(lsh)
 
     blocks = ck("blocks", _blocks, cache=True)
 
     def _pairs() -> DataFrame:
         sym = candidate_pairs(
-            blocks, ["snapshot_ts", "block_key"], "surface", ["norm", "n_mentions"], cap=pair_cap
-        ).select("snapshot_ts", "id_a", "id_b", "norm_a", "norm_b", "n_mentions_a", "n_mentions_b")
+            blocks, ["snapshot_ts", "block_key"], "norm", ["n_mentions"], cap=pair_cap
+        ).select(
+            "snapshot_ts", "id_a", "id_b",
+            F.col("id_a").alias("norm_a"), F.col("id_b").alias("norm_b"),
+            "n_mentions_a", "n_mentions_b",
+        )
 
-        # first-token key links abbreviated surfaces ("Falcon" ↔
-        # "Falcon Krypton Prairie"). This is the Zipf-hot key, so it is
+        # first-token key links abbreviated norms ("falcon" ↔
+        # "falcon krypton prairie"). This is the Zipf-hot key, so it is
         # BIPARTITE by construction: single-token abbreviations on one
         # side × multi-token full forms on the other. Multi×multi
-        # near-dups are already covered by the N:/LSH keys, and
+        # near-dups are already covered by the S:/P:/LSH keys, and
         # skipping them turns the hot block's O(n²) pair blowup into
         # O(#abbr × #full) — the skew guardrail that replaces the
         # reference's max_mentions_per_entity cap (s03:491-501).
         ntok = F.size(F.split(F.col("norm"), " "))
         fkey = F.split(F.col("norm"), " ").getItem(0)
-        abbr = surfaces.filter(ntok == 1).select(
-            "snapshot_ts", fkey.alias("fkey"), F.col("surface").alias("s1"),
+        abbr = norms.filter(ntok == 1).select(
+            "snapshot_ts", fkey.alias("fkey"),
             F.col("norm").alias("n1"), F.col("n_mentions").alias("c1"),
         )
-        full = surfaces.filter(ntok >= 2).select(
-            "snapshot_ts", fkey.alias("fkey"), F.col("surface").alias("s2"),
+        full = norms.filter(ntok >= 2).select(
+            "snapshot_ts", fkey.alias("fkey"),
             F.col("norm").alias("n2"), F.col("n_mentions").alias("c2"),
         )
-        lt = F.col("s1") < F.col("s2")
+        # BOTH sides of the hot key are capped — without this the
+        # bipartite product still grows quadratically on a Zipf-hot
+        # first token (measured: 69× pairs for a 32× corpus, and the
+        # hot blocks land on single tasks, skewing the wide-cluster
+        # legs). The full-form side keeps the HIGHEST-FREQUENCY
+        # completions (exactly the reference's alias-table top-
+        # candidate cap, s02:434-440 + s03:491-501); the abbreviation
+        # side is hash-capped (a guardrail only — distinct single-token
+        # norms per first token are naturally few).
+        abbr = cap_block_size(abbr, ["snapshot_ts", "fkey"], "n1", cap=pair_cap)
+        from pyspark.sql import Window as _W
+
+        w_full = _W.partitionBy("snapshot_ts", "fkey").orderBy(F.col("c2").desc(), "n2")
+        full = (
+            full.withColumn("_rn", F.row_number().over(w_full))
+            .filter(F.col("_rn") <= pair_cap)
+            .drop("_rn")
+        )
+        lt = F.col("n1") < F.col("n2")
         bip = abbr.join(full, ["snapshot_ts", "fkey"]).select(
             "snapshot_ts",
-            F.when(lt, F.col("s1")).otherwise(F.col("s2")).alias("id_a"),
-            F.when(lt, F.col("s2")).otherwise(F.col("s1")).alias("id_b"),
+            F.when(lt, F.col("n1")).otherwise(F.col("n2")).alias("id_a"),
+            F.when(lt, F.col("n2")).otherwise(F.col("n1")).alias("id_b"),
             F.when(lt, F.col("n1")).otherwise(F.col("n2")).alias("norm_a"),
             F.when(lt, F.col("n2")).otherwise(F.col("n1")).alias("norm_b"),
             F.when(lt, F.col("c1")).otherwise(F.col("c2")).alias("n_mentions_a"),
@@ -265,8 +303,8 @@ def run_pipeline(
             F.concat_ws(_SEP, F.col("snapshot_ts").cast("string"), "id_a").alias("id_a"),
             F.concat_ws(_SEP, F.col("snapshot_ts").cast("string"), "id_b").alias("id_b"),
         )
-        nodes = surfaces.select(
-            F.concat_ws(_SEP, F.col("snapshot_ts").cast("string"), "surface").alias("node")
+        nodes = norms.select(
+            F.concat_ws(_SEP, F.col("snapshot_ts").cast("string"), "norm").alias("node")
         )
         # mid-clustering resumability: every iteration's edge state is
         # durably published; a rerun warm-starts from the latest state
@@ -306,10 +344,21 @@ def run_pipeline(
                 "clustering",
                 {"iterations": res.iterations, "converged": res.converged, "history": res.history},
             )
-        return res.components.select(
+        norm_comp = res.components.select(
             F.split_part("node", F.lit(_SEP), F.lit(1)).cast("timestamp").alias("snapshot_ts"),
-            F.split_part("node", F.lit(_SEP), F.lit(2)).alias("surface"),
-            F.split_part("component", F.lit(_SEP), F.lit(2)).alias("component"),
+            F.split_part("node", F.lit(_SEP), F.lit(2)).alias("norm"),
+            F.split_part("component", F.lit(_SEP), F.lit(2)).alias("_comp_norm"),
+        )
+        # map back to surfaces and relabel each cluster to its
+        # lexicographically smallest SURFACE — component ids stay real
+        # surfaces (the single-node oracle's union-find root is the
+        # min surface too, so labels match bit-for-bit)
+        from pyspark.sql import Window
+
+        sc_ = surfaces.join(norm_comp, ["snapshot_ts", "norm"])
+        w_lbl = Window.partitionBy("snapshot_ts", "_comp_norm")
+        return sc_.withColumn("component", F.min("surface").over(w_lbl)).select(
+            "snapshot_ts", "surface", "component"
         )
 
     surface_components = ck("surface_components", _components, cache=True)
@@ -328,8 +377,23 @@ def run_pipeline(
             disambiguate_occurrences,
         )
 
+        # the scored pair ids are NORMS — feed norm-keyed occurrence
+        # and component frames so the operator's joins line up
+        surf_norm = surfaces.select("snapshot_ts", "surface", "norm")
+        norm_components = (
+            surf_norm.join(surface_components, ["snapshot_ts", "surface"])
+            .select("snapshot_ts", F.col("norm").alias("surface"), "component")
+            .distinct()
+        )
+        mentions_n = (
+            mentions.join(F.broadcast(surf_norm), ["snapshot_ts", "surface"])
+            .select(
+                "snapshot_ts", "conv_id", "turn_idx", "mention_id",
+                F.col("norm").alias("surface"),
+            )
+        )
         overrides = disambiguate_occurrences(
-            transcripts, mentions, surface_components,
+            transcripts, mentions_n, norm_components,
             ambiguous_candidates(scored), dim=context_dim,
         )
         return (
@@ -350,6 +414,7 @@ def run_pipeline(
     out = {
         "mentions": mentions,
         "surfaces": surfaces,
+        "norms": norms,
         "blocks": blocks,
         "pairs": pairs,
         "scored": scored,

@@ -72,6 +72,17 @@ def synth_entities(spark: SparkSession, n_entities: int = 64, seed: int = 42) ->
         F.initcap(_vocab_word(w2)),
         # a third token on ~half of entities → variable name lengths
         F.when(F.pmod(F.col("eid"), 2) == 0, F.initcap(_vocab_word(w3))),
+        # beyond ~1024 entities the 32-word vocabulary can't produce
+        # distinguishable names (collisions force mega-clusters that
+        # distort large scaling corpora into one pathological skew
+        # blob); a deterministic md5-derived token (multi-char edit
+        # distance — an ordinal like "Gen1"/"Gen2" would lev-ratio
+        # must-link across entities) keeps big corpora realistic.
+        # No effect below 1024 entities (all tests/bench).
+        F.when(
+            F.col("eid") >= 1024,
+            F.initcap(F.substring(F.md5(F.col("eid").cast("string")), 1, 6)),
+        ),
     )
     created = F.timestamp_seconds(
         F.unix_timestamp(F.lit(BASE_TS))

@@ -11,12 +11,13 @@ s03_dataset_creator.json:44), but the must-link RULE deliberately
 diverges from the reference's subset-clustering rule: the reference
 also must-links on whole-word containment ANYWHERE
 (one_string_in_another, s02_alias_table_generator.py:29-47), which
-over-merges distinct entities sharing a token ("raven willow" ⊂
-"juniper raven willow"); this engine restricts the unconditional link
-to token-boundary PREFIXES and routes other containments through
-prior/context resolution (scoring.py is_partial). The reference's
-literal containment rule lives where its semantics are right —
-leakage-safe subset clustering
+over-merges — a contained shortening with SEVERAL completions welds
+every completion into one cluster transitively. This engine routes
+ALL containment-shaped (token-subset) pairs through prior/context
+resolution (scoring.py is_partial → top-1 by mention frequency; a
+unique completion resolves identically to a containment link). The
+reference's literal containment rule lives where its semantics are
+right — leakage-safe subset clustering
 (dataset_creator.assign_subsets_leakage_safe). The divergence is
 pinned explicitly by
 tests/test_operators_divergence::test_containment_rule_divergence.
@@ -152,28 +153,34 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
             mentions.append((snap, f"{conv_id}:{turn_idx}:{s}", m))
 
     surfaces = sorted({(snap, surf) for snap, _mid, surf in mentions})
+
+    # NORM pivot (mirrors pipeline round 2): same-norm surfaces are
+    # must-links by definition, so all pairwise work runs on distinct
+    # normalized forms with frequencies summed per norm — the
+    # reference's own alias-table granularity (s02:253-267).
+    norm_of = {(snap, surf): normalize(surf) for snap, surf in surfaces}
+    norms = sorted({(snap, norm_of[(snap, surf)]) for snap, surf in surfaces})
     freq: dict[tuple, int] = defaultdict(int)
     for snap, _mid, surf in mentions:
-        freq[(snap, surf)] += 1
+        freq[(snap, norm_of[(snap, surf)])] += 1
 
-    # blocking: exact norm + minhash bands (self-join blocks) plus the
-    # BIPARTITE first-token block (single-token abbreviations × multi-
-    # token full forms only — mirrors pipeline's hot-key guardrail)
+    # blocking on norms: sorted-token + prefix-2 + minhash bands
+    # (self-join blocks) plus the BIPARTITE first-token block
+    # (single-token abbreviations × multi-token full forms only —
+    # mirrors pipeline's hot-key guardrail)
     blocks = defaultdict(list)
     fblocks = defaultdict(lambda: ([], []))  # key -> (abbrs, fulls)
-    for snap, surf in surfaces:
-        n = normalize(surf)
-        blocks[(snap, "N:" + n)].append(surf)
-        blocks[(snap, "S:" + " ".join(sorted(set(n.split(" ")))))].append(surf)
+    for snap, n in norms:
+        blocks[(snap, "S:" + " ".join(sorted(set(n.split(" ")))))].append(n)
         toks = n.split(" ")
         if len(toks) == 1:
-            fblocks[(snap, toks[0])][0].append(surf)
+            fblocks[(snap, toks[0])][0].append(n)
         else:
-            fblocks[(snap, toks[0])][1].append(surf)
+            fblocks[(snap, toks[0])][1].append(n)
             # first-2-tokens prefix key (mirrors pipeline P: block)
-            blocks[(snap, "P:" + " ".join(toks[:2]))].append(surf)
-        for bk in minhash_band_keys(surf):
-            blocks[(snap, bk)].append(surf)
+            blocks[(snap, "P:" + " ".join(toks[:2]))].append(n)
+        for bk in minhash_band_keys(n):
+            blocks[(snap, bk)].append(n)
 
     pairs = set()
     for (snap, _bk), members in blocks.items():
@@ -187,8 +194,8 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
                 pairs.add((snap, min(a, f), max(a, f)))
 
     uf = UnionFind()
-    for snap, surf in surfaces:
-        uf.find((snap, surf))
+    for snap, n in norms:
+        uf.find((snap, n))
 
     # pass 1: must-link / plain score edges + the anchored set
     # (surfaces must-linked to a strictly longer surface); pass 2:
@@ -205,9 +212,9 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
         score = 0.45 * jw + 0.30 * (1 - lr) + 0.25 * jc
         ta, tb = na.split(" "), nb.split(" ")
         subset = not (set(ta) - set(tb)) or not (set(tb) - set(ta))
-        n_small = min(len(ta), len(tb))
-        prefix_ml = (nb.startswith(na + " ") or na.startswith(nb + " ")) and n_small >= 2
-        must = lr < MUST_LINK_RATIO or prefix_ml
+        # must-link = the reference ratio rule alone; all different-
+        # count subsets (incl. prefixes) resolve by prior top-1
+        must = lr < MUST_LINK_RATIO
         partial = subset and not must and len(ta) != len(tb)
         if must:
             uf.union((snap, sa), (snap, sb))
@@ -232,7 +239,18 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
     for (snap, _src), (_f, _s, sa, sb) in abbrev_best.items():
         uf.union((snap, sa), (snap, sb))
 
-    return {f"{snap}@{mid}": uf.find((snap, surf))[1] for snap, mid, surf in mentions}
+    # cluster label = lexicographically smallest SURFACE of the norm
+    # cluster (mirrors the pipeline's relabel; the star-CC min and
+    # this union-find min coincide)
+    label: dict[tuple, str] = {}
+    for snap, surf in surfaces:
+        root = uf.find((snap, norm_of[(snap, surf)]))
+        if root not in label or surf < label[root]:
+            label[root] = surf
+    return {
+        f"{snap}@{mid}": label[uf.find((snap, norm_of[(snap, surf)]))]
+        for snap, mid, surf in mentions
+    }
 
 
 def pairwise_f1_partitions(pred: dict, gold: dict) -> float:

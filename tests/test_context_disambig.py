@@ -53,11 +53,12 @@ def test_ambiguous_candidates_and_anchoring(spark):
         # falcon is ambiguous: two full forms
         ("falcon", "falcon krypton", 5, 3),
         ("falcon", "falcon prairie", 5, 2),
-        # "granite ember" prefix-must-links "granite ember quartz"
-        # → anchored, and its extra partial pair must NOT make it
-        # a candidate source
-        ("granite ember", "granite ember quartz", 4, 2),
+        # "granite ember" ratio-must-links the longer "granite ember q"
+        # (lev 2/15 ≈ 0.13 < 0.2, 2 vs 3 tokens) → anchored: its TWO
+        # partial pairs must NOT make it a candidate source
+        ("granite ember", "granite ember q", 4, 2),
         ("granite ember", "granite granite ember", 4, 1),
+        ("granite ember", "granite ember prairie", 4, 1),
         # single-candidate partial → not ambiguous
         ("zephyr", "zephyr onyx", 2, 1),
     ]

@@ -12,14 +12,17 @@ SNAPSHOTS = [f"{y}-01-01 00:00:00" for y in (2013, 2014, 2015, 2016)]
 
 
 def _stub_embeddings(surfaces):
-    """Deterministic 8-d embedding per surface from md5-derived floats
+    """Deterministic 8-d embedding per NORMALIZED surface (the pair
+    ids are norms since the round-2 norm pivot) from md5-derived floats
     of the NORMALIZED form — so case variants of one name share an
     embedding (cosine 1.0), like a real encoder would place them."""
     dims = [
         (fingerprint64(F.concat(F.lit(f"d{i}:"), F.col("norm"))) % 1000).cast("float") / 1000.0
         for i in range(8)
     ]
-    return surfaces.select("snapshot_ts", "surface", F.array(*dims).alias("embedding"))
+    return surfaces.select(
+        "snapshot_ts", F.col("norm").alias("surface"), F.array(*dims).alias("embedding")
+    ).distinct()
 
 
 def test_pipeline_with_embedding_cosine(spark):
@@ -41,9 +44,6 @@ def test_pipeline_with_embedding_cosine(spark):
     assert len(rows) > 0
     # every pair found an embedding (vocabulary join is total here)
     assert all(r.cosine is not None for r in rows)
-    # case variants normalize identically → identical embedding → cosine ≈ 1
-    same_norm = [r for r in rows if r.norm_a == r.norm_b]
-    assert same_norm and all(abs(r.cosine - 1.0) < 1e-9 for r in same_norm)
 
     # embeddings-off run still produces identical COMPONENTS here
     # (stub cosine is norm-keyed so it never flips a decision for this corpus)

@@ -8,11 +8,14 @@ one_string_in_another, s02_alias_table_generator.py:29-47): two
 mentions must-link when either whole-word-contains the other,
 ANYWHERE in the string.
 
-Engine rule (operators/scoring.py): unconditional must-link only for
-token-boundary PREFIX containment (≥2 tokens); any other token-subset
-containment is is_partial → resolved by frequency prior (+ optional
-context), because unconditional interior containment over-merges
-distinct entities sharing a token span.
+Engine rule (operators/scoring.py): NO containment-shaped pair is an
+unconditional link — every token-subset with different token counts
+is is_partial → resolved to its top-1 completion by frequency prior
+(+ optional context). A unique completion resolves identically to a
+containment link; with several completions the unconditional rule
+welds every completion into one cluster transitively (observed as a
+mega-merge on large corpora), which is exactly why the reference's
+rule is not reproduced here.
 """
 
 from __future__ import annotations
@@ -44,9 +47,12 @@ def test_containment_rule_divergence(spark):
     assert not r.must_link
     assert r.is_partial and not r.is_match
 
-    # the rules AGREE on prefix containment — both link
+    # prefix containment is ALSO partial (prior-resolved) — with a
+    # unique completion the top-1 edge reproduces the link, without
+    # the multi-completion mega-merge
     r2 = _score(spark, "juniper raven", "juniper raven willow")
-    assert r2.must_link
+    assert not r2.must_link
+    assert r2.is_partial and not r2.is_match
 
 
 def test_reference_containment_used_where_it_belongs(spark):
