@@ -61,6 +61,64 @@ def _small_star(e: DataFrame) -> DataFrame:
     return to_nbrs.unionByName(to_self).filter(F.col("a") != F.col("b")).distinct()
 
 
+def _local_contract(e: DataFrame, parts: int) -> DataFrame:
+    """Partition-local union-find contraction — one Arrow pass that
+    collapses every partition's edge subset into star edges
+    (member → set-minimum).
+
+    The union of the per-partition stars has exactly the connected
+    components of the input (each local star preserves its subset's
+    connectivity; the union preserves the union's), but chains and
+    cliques inside a partition collapse to depth-1 immediately, so the
+    global large-star/small-star loop starts near its fixed point and
+    converges in ~⌈log(#partitions-spanning paths)⌉ rounds instead of
+    ⌈log(diameter)⌉. Each round is a full driver barrier (checkpoint +
+    convergence signature), so saved rounds are saved *serial* time —
+    this is the optimization Kiveris et al. §6 report as "local
+    contraction" for MapReduce CC.
+
+    Memory bound: a partition holds |E|/parts edges → the union-find
+    dict holds ≤ 2·|E|/parts entries; `parts` is sized to the edge
+    list by the caller (connected_components.shuffle_partitions), so
+    per-task state stays bounded at any corpus size. The Python loop
+    touches EDGES (vocabulary-scale), never mention occurrences.
+    """
+    import pandas as pd
+
+    def contract(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"].values, pdf["b"].values):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union toward the SMALLER id: roots stay set-minima
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        rows = [(n, find(n)) for n in parent]
+        yield pd.DataFrame(
+            [(n, r) for n, r in rows if n != r], columns=["a", "b"]
+        )
+
+    # hash-partition by source node so a node's edges co-locate (the
+    # contraction is correct under ANY partitioning; co-location just
+    # collapses more per pass)
+    return e.repartition(parts, "a").mapInPandas(contract, e.schema)
+
+
 def _signature(e: DataFrame) -> tuple[int, int]:
     # bit_xor: order-insensitive AND overflow-free (sum(xxhash64)
     # overflows long under ANSI mode — bit at spark-submit defaults)
@@ -89,6 +147,8 @@ def connected_components(
     durable_checkpoint=None,
     shuffle_partitions: int | None = None,
     resume_state: DataFrame | None = None,
+    local_contract: bool = True,
+    contract_min_edges: int = 200_000,
 ) -> CCResult:
     """edges: undirected pair list. nodes: optional full node universe
     (id column named like ``id_a``) so singletons get their own
@@ -114,13 +174,18 @@ def connected_components(
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        return _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint, resume_state)
+        return _cc_loop(
+            edges, id_a, id_b, nodes, max_iter, checkpoint_every,
+            durable_checkpoint, resume_state, local_contract, contract_min_edges,
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
-def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint, resume_state=None) -> CCResult:
+def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint, resume_state=None, local_contract=True, contract_min_edges=200_000) -> CCResult:
     if resume_state is not None:
+        # resumed state is already (near-)star-shaped — contraction
+        # would only add a Python pass
         e = resume_state.select("a", "b")
     else:
         e = (
@@ -130,6 +195,16 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
         )
     e = e.localCheckpoint(eager=True)
     prev_sig = _signature(e)
+    # contraction pays only past a size floor: the pre-pass costs one
+    # Arrow/Python pass, a saved star round costs ~4 shuffles over the
+    # whole edge list + a driver barrier. Below the floor the loop
+    # converges in ≤ 3 cheap rounds anyway (measured: +1.5-5 s pure
+    # overhead on an 8k-edge graph; the signature above already counts
+    # edges, so the gate is free).
+    if local_contract and resume_state is None and prev_sig[0] >= contract_min_edges:
+        parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        e = _local_contract(e, parts).localCheckpoint(eager=True)
+        prev_sig = _signature(e)
     history: list[dict] = []
     converged = False
     it = 0

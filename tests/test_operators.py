@@ -37,6 +37,29 @@ def test_connected_components_chain(spark):
     assert res.iterations <= 10
 
 
+def test_cc_local_contract_parity_and_fewer_rounds(spark):
+    """The partition-local union-find pre-pass must not change the
+    components — only the number of global star rounds (each round is
+    a driver barrier, so fewer rounds = less serial time)."""
+    from tempel_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        # a 61-node chain + a separate clique + a singleton self-loop
+        [(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)]
+        + [("k1", "k2"), ("k2", "k3"), ("k1", "k3"), ("z", "z")],
+        "id_a string, id_b string",
+    )
+    base = connected_components(edges, shuffle_partitions=4, local_contract=False)
+    # contract_min_edges=0 forces the pre-pass (the production floor
+    # of 200k edges would skip it on a fixture this small)
+    fast = connected_components(edges, shuffle_partitions=4, local_contract=True, contract_min_edges=0)
+    exp = {r.node: r.component for r in base.components.collect()}
+    got = {r.node: r.component for r in fast.components.collect()}
+    assert base.converged and fast.converged
+    assert got == exp
+    assert fast.iterations <= base.iterations
+
+
 def test_alias_table_invariants(spark):
     from tempel_spark.operators.alias_table import build_alias_table
 
