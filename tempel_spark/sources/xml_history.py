@@ -3,12 +3,18 @@
 The reference streams 7z-compressed dumps through a SAX parser in
 reader processes (s01_wikipedia_clean_and_tokenize.py:75-97,
 misc/seven_zip_reader.py, misc/wikipedia_history_reader.py:14-438).
-Spark shape: wholeTextFiles-per-split is wrong for multi-GB dumps, so
-we read <page>…</page> blocks as custom-delimited text records
-(textinputformat.record.delimiter) — each task SAX-parses its own
-pages via mapInPandas. 7z is not splittable and py7zr isn't in this
-container; on a real cluster dumps are transcoded to bz2-multistream
-or plain text first (standard practice), which this reader consumes.
+Two Spark shapes, matching the two dump encodings:
+
+* plain/bz2 XML (`read_revision_history_xml`): splittable — read
+  <page>…</page> blocks as custom-delimited text records
+  (textinputformat.record.delimiter) so a multi-GB file fans out
+  across tasks, each SAX-parsing its own pages via mapInPandas.
+* .7z parts (`read_revision_history_7z`): the container is NOT
+  splittable, so parallelism is one task per part file — exactly the
+  reference's process-per-file model (60 reader processes ≈ 60 dump
+  parts). The container decodes through the dependency-free stdlib
+  reader (sources/sevenzip.py); pages stream out of the raw
+  decompressor in bounded chunks, never materializing a member.
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ import xml.etree.ElementTree as ET
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_revision_history_xml", "REVISION_SCHEMA"]
+__all__ = ["read_revision_history_xml", "read_revision_history_7z", "REVISION_SCHEMA"]
 
 REVISION_SCHEMA = (
     "page_id long, title string, ns int, redirect string, "
@@ -80,3 +86,42 @@ def read_revision_history_xml(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return frags.mapInPandas(gen, schema=REVISION_SCHEMA)
+
+
+def read_revision_history_7z(spark: SparkSession, path: str) -> DataFrame:
+    """One row per (page, revision), straight from .7z dump parts.
+
+    Pages are split on ``</page>`` inside the chunk stream of each
+    member, so peak task memory is one chunk + one page, independent
+    of member size."""
+    from tempel_spark.sources.sevenzip import SevenZArchive
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def gen(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                ar = SevenZArchive(bytes(content))
+                for member in ar.namelist():
+                    tail = ""
+                    rows: list[tuple] = []
+                    for chunk in ar.iter_chunks(member):
+                        buf = tail + chunk.decode("utf-8", errors="replace")
+                        parts = buf.split("</page>")
+                        tail = parts.pop()
+                        for frag in parts:
+                            start = frag.find("<page")
+                            if start >= 0:
+                                rows.extend(_parse_page(frag[start:] + "</page>"))
+                        if len(rows) >= 1000:
+                            yield pd.DataFrame(
+                                rows,
+                                columns=["page_id", "title", "ns", "redirect", "rev_id", "rev_ts", "rev_text"],
+                            )
+                            rows = []
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["page_id", "title", "ns", "redirect", "rev_id", "rev_ts", "rev_text"],
+                    )
+
+    return files.mapInPandas(gen, schema=REVISION_SCHEMA)
