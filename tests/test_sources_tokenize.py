@@ -9,6 +9,35 @@ import tempfile
 from pyspark.sql import functions as F
 
 
+def test_wordpiece_algorithm():
+    """The published WordPiece rule (greedy longest-match-first) on
+    the BERT paper's canonical example, plus UNK and accent rules."""
+    from tempel_spark.functions.tokenize import WordPieceTokenizer
+
+    t = WordPieceTokenizer({"un", "##aff", "##able", "aff", "able", "runn", "##ing"})
+    assert t.tokenize("unaffable") == ["un", "##aff", "##able"]
+    assert t.tokenize("running") == ["runn", "##ing"]
+    # no char coverage for 'xyz' in this vocab → whole-word UNK
+    assert t.tokenize("xyz") == ["[UNK]"]
+    # punctuation always stands alone, never UNK
+    assert t.tokenize("able, able!") == ["able", ",", "able", "!"]
+
+    b = WordPieceTokenizer.builtin()
+    # accent strip + lowercase (BERT basic tokenization)
+    assert "".join(p.lstrip("#") for p in b.tokenize("Café")) == "cafe"
+    # builtin vocab is character-complete on ASCII → never UNK
+    assert "[UNK]" not in b.tokenize("zqxjkw9 extraordinarily")
+
+
+def test_wordpiece_vocab_file(tmp_path):
+    from tempel_spark.functions.tokenize import WordPieceTokenizer
+
+    p = tmp_path / "vocab.txt"
+    p.write_text("granite\nember\n##s\ng\n##r\n", encoding="utf-8")
+    t = WordPieceTokenizer.from_vocab_file(str(p))
+    assert t.tokenize("granite embers") == ["granite", "ember", "##s"]
+
+
 def test_tokenize_detokenize_roundtrip(spark):
     from tempel_spark.functions.tokenize import detokenize_udf, tokenize_udf
 
