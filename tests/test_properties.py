@@ -94,3 +94,45 @@ def test_pipeline_handles_extreme_skew(spark):
     comp = res["components"]
     assert comp.count() == 600
     assert comp.select("component").distinct().count() == 2
+
+
+def test_bipartite_cap_keeps_top_frequency_completions(spark):
+    """A first token with MORE full forms than pair_cap: pair counts
+    stay bounded, and the cap is frequency-ordered — the abbreviation
+    still reaches (and prior-resolves to) the most frequent
+    completion, exactly the alias-table top-candidate semantics."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tempel_spark.plans.pipeline import run_pipeline
+
+    def tok(i: int) -> str:
+        # distinct 6-char suffixes far apart in edit distance, so the
+        # ratio must-link never welds two completions
+        return hashlib.md5(f"tok{i}".encode()).hexdigest()[:6]
+
+    rows = [
+        (f"c{i:03d}", 0, "user", f"see [[Zeta {tok(i)}]] here", "", "2014-06-01 00:00:00")
+        for i in range(120)
+    ]
+    rows.append(("abbr", 0, "user", "just [[Zeta]] alone", "", "2014-06-01 00:00:00"))
+    hot = f"Zeta {tok(0)}"
+    rows += [
+        (f"hot{j}", 0, "user", f"again [[{hot}]] now", "", "2014-06-01 00:00:00")
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    res = run_pipeline(spark, df, snapshots=["2015-01-01 00:00:00"], pair_cap=20)
+    # pairs touching the abbreviation are bounded by the per-family
+    # caps (bipartite ≤ pair_cap; each LSH band block ≤ pair_cap)
+    zeta_pairs = res["scored"].filter(
+        (F.col("norm_a") == "zeta") | (F.col("norm_b") == "zeta")
+    ).count()
+    assert 0 < zeta_pairs <= 20 * 7
+    comp = {r.surface: r.component for r in res["surface_components"].collect()}
+    # frequency-ordered cap retained the 6-mention completion among
+    # 120 candidates, and the prior edge resolves to it
+    assert comp["Zeta"] == comp[hot]
