@@ -62,7 +62,9 @@ class WordPieceTokenizer:
     @classmethod
     def from_vocab_file(cls, path: str) -> "WordPieceTokenizer":
         with open(path, encoding="utf-8") as f:
-            return cls({line.rstrip("\n") for line in f if line.rstrip("\n")})
+            # rstrip CR too: a CRLF vocab.txt would otherwise leave \r
+            # on every token and silently tokenize EVERYTHING to [UNK]
+            return cls({line.rstrip("\r\n") for line in f if line.rstrip("\r\n")})
 
     @classmethod
     def builtin(cls) -> "WordPieceTokenizer":

@@ -202,7 +202,14 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
     # overhead on an 8k-edge graph; the signature above already counts
     # edges, so the gate is free).
     if local_contract and resume_state is None and prev_sig[0] >= contract_min_edges:
-        parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # partition count scales with the MEASURED edge count (~2M
+        # edges per task ⇒ ≤ ~4M-entry union-find dicts), never below
+        # the session width — the caller's shuffle_partitions alone
+        # would let one task swallow a 10^9-edge list into one dict
+        parts = max(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            prev_sig[0] // 2_000_000 + 1,
+        )
         e = _local_contract(e, parts).localCheckpoint(eager=True)
         prev_sig = _signature(e)
     history: list[dict] = []

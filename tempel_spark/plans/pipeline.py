@@ -270,10 +270,16 @@ def run_pipeline(
         p = pairs
         emb_kw: dict = {}
         if embeddings is not None:
-            ea = embeddings.select(
+            # defensive dedupe: a caller deriving norm-keyed embeddings
+            # from the surface vocabulary gets several rows per norm,
+            # and a duplicated build side would FAN OUT the pair table
+            # through the left joins (duplicated edges, inflated pair
+            # counts) — one row per (snapshot, key) is the contract
+            emb = embeddings.dropDuplicates(["snapshot_ts", "surface"])
+            ea = emb.select(
                 "snapshot_ts", F.col("surface").alias("id_a"), F.col("embedding").alias("emb_a")
             )
-            eb = embeddings.select(
+            eb = emb.select(
                 "snapshot_ts", F.col("surface").alias("id_b"), F.col("embedding").alias("emb_b")
             )
             # join strategy is deliberately left to Catalyst/AQE: at

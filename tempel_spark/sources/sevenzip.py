@@ -83,11 +83,31 @@ def _read_optional_bit_vector(f: BinaryIO, n: int) -> list[bool]:
     return _read_bit_vector(f, n)
 
 
+class _ChainedBz2:
+    """bz2 with stream re-chaining: 7z's multithreaded BZip2 coder
+    concatenates several independent .bz2 streams in one folder, and
+    ``BZ2Decompressor`` raises EOFError past the first one."""
+
+    def __init__(self):
+        self._dec = bz2.BZ2Decompressor()
+
+    def decompress(self, data: bytes) -> bytes:
+        out = []
+        while data:
+            out.append(self._dec.decompress(data))
+            if not self._dec.eof:
+                break
+            data = self._dec.unused_data
+            self._dec = bz2.BZ2Decompressor()
+        return b"".join(out)
+
+
 @dataclass
 class _Folder:
     coder_id: bytes = b""
     props: bytes = b""
     unpack_size: int = 0
+    crc_defined: bool = False
     num_substreams: int = 1
     substream_sizes: list[int] = field(default_factory=list)
 
@@ -100,7 +120,7 @@ class _Folder:
 
             return _Copy()
         if cid == _CODER_BZIP2:
-            return bz2.BZ2Decompressor()
+            return _ChainedBz2()
         if cid == _CODER_LZMA2:
             filt = _lzma_filter(lzma.FILTER_LZMA2, self.props)
             return lzma.LZMADecompressor(lzma.FORMAT_RAW, filters=[filt])
@@ -198,7 +218,13 @@ def _parse_streams_info(f: BinaryIO) -> _StreamsInfo:
                 if sub == _K_END:
                     break
                 if sub == _K_CRC:
-                    _skip_crcs(f, n_folders)
+                    # folder-level digests: remember which folders have
+                    # one — SubStreamsInfo's kCRC then EXCLUDES their
+                    # single substream (7zFormat.txt digest rule)
+                    defined = _read_optional_bit_vector(f, n_folders)
+                    f.read(4 * sum(defined))
+                    for folder, d in zip(info.folders, defined):
+                        folder.crc_defined = d
                 else:
                     raise ValueError(f"unexpected UnpackInfo property {sub:#x}")
         elif pid == _K_SUBSTREAMS_INFO:
@@ -229,8 +255,12 @@ def _parse_substreams_info(f: BinaryIO, info: _StreamsInfo) -> None:
             sizes = [_read_number(f) for _ in range(folder.num_substreams - 1)]
             folder.substream_sizes = [*sizes, folder.unpack_size - sum(sizes)]
         pid = _read_number(f)
+    # digests are stored only for substreams whose CRC isn't already
+    # known from UnpackInfo (= single-substream folders with a
+    # folder-level digest)
     n_digests = sum(
-        fo.num_substreams for fo in info.folders
+        0 if (fo.num_substreams == 1 and fo.crc_defined) else fo.num_substreams
+        for fo in info.folders
     )
     while pid != _K_END:
         if pid == _K_CRC:
@@ -394,6 +424,40 @@ class SevenZArchive:
     def read(self, name: str) -> bytes:
         return b"".join(self.iter_chunks(name))
 
+    def iter_all(self, chunk: int = 1 << 20) -> Iterator[tuple[str, bytes]]:
+        """(member_name, chunk) pairs across ALL members, decompressing
+        each folder exactly once — the bulk path for solid archives,
+        where per-member iter_chunks would redo the folder prefix per
+        member (O(members × folder size))."""
+        stream_files = [e for e in self._files if e.has_stream]
+        fi = 0
+        for folder_idx, folder in enumerate(self._streams.folders):
+            members = stream_files[fi: fi + folder.num_substreams]
+            fi += folder.num_substreams
+            bounds = []
+            pos = 0
+            for m in members:
+                bounds.append((m.name, pos, pos + m.size))
+                pos += m.size
+            bi = 0
+            seen = 0
+            for block in self._iter_folder_chunks(folder_idx, chunk):
+                lo, hi = seen, seen + len(block)
+                seen = hi
+                while bi < len(bounds) and bounds[bi][2] <= lo:
+                    bi += 1
+                j = bi
+                while j < len(bounds) and bounds[j][1] < hi:
+                    name, start, end = bounds[j]
+                    piece = block[max(0, start - lo): min(len(block), end - lo)]
+                    if piece:
+                        yield name, piece
+                    j += 1
+        # empty members still announce themselves once
+        for e in self._files:
+            if not e.has_stream:
+                yield e.name, b""
+
     def iter_lines(self, name: str, encoding: str = "utf-8") -> Iterator[str]:
         """Line iterator over a member — the reference's
         SevenZFile.readlines contract (misc/seven_zip_reader.py:36-53),
@@ -420,16 +484,33 @@ def read_text_7z(spark, path: str, member: str | None = None):
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    cols = ["file", "member", "line"]
 
     def gen(batches):
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 ar = SevenZArchive(bytes(content))
-                members = [member] if member else ar.namelist()
-                for m in members:
-                    rows = [
-                        (fpath, m, ln.rstrip("\n")) for ln in ar.iter_lines(m)
-                    ]
-                    yield pd.DataFrame(rows, columns=["file", "member", "line"])
+                rows: list[tuple] = []
+                tails: dict[str, bytes] = {}
+                # single decompression pass over every folder; lines
+                # split on BYTES so multi-byte UTF-8 never straddles a
+                # decode boundary, and rows flush in bounded batches
+                for name, block in ar.iter_all():
+                    if member is not None and name != member:
+                        continue
+                    buf = tails.get(name, b"") + block
+                    lines = buf.split(b"\n")
+                    tails[name] = lines.pop()
+                    rows.extend(
+                        (fpath, name, ln.decode("utf-8", errors="replace").rstrip("\r"))
+                        for ln in lines
+                    )
+                    if len(rows) >= 5000:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                for name, tail in tails.items():
+                    if tail:
+                        rows.append((fpath, name, tail.decode("utf-8", errors="replace")))
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(gen, "file string, member string, line string")

@@ -98,30 +98,29 @@ def read_revision_history_7z(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("content")
 
+    cols = ["page_id", "title", "ns", "redirect", "rev_id", "rev_ts", "rev_text"]
+
     def gen(batches):
         for pdf in batches:
             for content in pdf["content"]:
                 ar = SevenZArchive(bytes(content))
-                for member in ar.namelist():
-                    tail = ""
-                    rows: list[tuple] = []
-                    for chunk in ar.iter_chunks(member):
-                        buf = tail + chunk.decode("utf-8", errors="replace")
-                        parts = buf.split("</page>")
-                        tail = parts.pop()
-                        for frag in parts:
-                            start = frag.find("<page")
-                            if start >= 0:
-                                rows.extend(_parse_page(frag[start:] + "</page>"))
-                        if len(rows) >= 1000:
-                            yield pd.DataFrame(
-                                rows,
-                                columns=["page_id", "title", "ns", "redirect", "rev_id", "rev_ts", "rev_text"],
-                            )
-                            rows = []
-                    yield pd.DataFrame(
-                        rows,
-                        columns=["page_id", "title", "ns", "redirect", "rev_id", "rev_ts", "rev_text"],
-                    )
+                # page split happens on BYTES (a multi-byte UTF-8 char
+                # can straddle a chunk boundary — decoding per chunk
+                # would corrupt it); each folder decompresses once
+                tails: dict[str, bytes] = {}
+                rows: list[tuple] = []
+                for member, block in ar.iter_all():
+                    buf = tails.get(member, b"") + block
+                    parts = buf.split(b"</page>")
+                    tails[member] = parts.pop()
+                    for frag_b in parts:
+                        start = frag_b.find(b"<page")
+                        if start >= 0:
+                            frag = frag_b[start:].decode("utf-8", errors="replace")
+                            rows.extend(_parse_page(frag + "</page>"))
+                    if len(rows) >= 1000:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(gen, schema=REVISION_SCHEMA)

@@ -110,11 +110,15 @@ def test_embedding_join_not_forced_broadcast(spark):
         t = synth_transcripts(spark, n_convs=20, n_entities=8, n_snapshots=2)
         snaps = [f"{y}-01-01 00:00:00" for y in (2013, 2014)]
         base = run_pipeline(spark, t, snapshots=snaps)
-        emb = base["surfaces"].select(
-            "snapshot_ts", "surface",
+        # NORM-keyed (the pair ids since the norm pivot) — a
+        # surface-keyed table would left-join-miss everything and make
+        # this test vacuously green
+        emb = base["norms"].select(
+            "snapshot_ts", F.col("norm").alias("surface"),
             F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
         )
         res = run_pipeline(spark, t, snapshots=snaps, embeddings=emb)
+        assert res["scored"].filter(F.col("cosine").isNull()).count() == 0
         plan = res["scored"]._jdf.queryExecution().executedPlan().toString()
         # the embedding joins (keys id_a / id_b) must NOT be broadcast;
         # synth's own tiny gold-entity dim broadcast upstream is fine

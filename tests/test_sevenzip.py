@@ -182,6 +182,70 @@ def test_bad_magic_rejected():
         SevenZArchive(b"PK\x03\x04 not a seven zip")
 
 
+def test_iter_all_single_folder_pass_and_utf8_boundaries():
+    """iter_all slices every member out of ONE folder decompression,
+    and byte-level consumers survive multi-byte UTF-8 characters
+    straddling any chunk boundary (chunk=1 forces every straddle)."""
+    members = {"a.xml": "héllo wörld é".encode(), "b.xml": "çafé".encode()}
+    ar = SevenZArchive(build_7z(members))
+    got: dict[str, bytes] = {}
+    for name, piece in ar.iter_all(chunk=1):
+        got[name] = got.get(name, b"") + piece
+    assert got == members
+
+
+def test_chained_bzip2_streams():
+    """7z multithreaded BZip2 folders concatenate independent bz2
+    streams; the decompressor must re-chain at each stream end."""
+    import bz2
+
+    part1, part2 = b"alpha " * 200, b"omega " * 300
+    packed = bz2.compress(part1) + bz2.compress(part2)
+    data = part1 + part2
+    header = (
+        _num(0x01) + _num(0x04)
+        + _streams_info(0, [len(packed)], _folder_bytes(b"\x04\x02\x02", b""), len(data))
+        + _num(0x05) + _num(1) + _names_block(["m"]) + _num(0x00)
+        + _num(0x00)
+    )
+    ar = SevenZArchive(_wrap(packed, header))
+    assert ar.read("m") == data
+
+
+def test_substream_crc_excludes_folder_digest_streams():
+    """7zFormat.txt digest rule: SubStreamsInfo kCRC stores digests
+    only for substreams whose CRC is not already known from a
+    folder-level digest. Two folders — one single-substream with a
+    folder CRC, one with three substreams — must parse with exactly
+    3 digests, not 4."""
+    import io
+
+    from tempel_spark.sources.sevenzip import _parse_streams_info
+
+    folder = _folder_bytes(b"\x00", b"")  # copy coder
+    blob = (
+        # PackInfo: two packed streams of 10 and 30 bytes
+        _num(0x06) + _num(0) + _num(2) + _num(0x09) + _num(10) + _num(30) + _num(0x00)
+        # UnpackInfo: 2 folders + folder-level CRC defined ONLY for folder 0
+        + _num(0x07) + _num(0x0B) + _num(2) + b"\x00" + folder + folder
+        + _num(0x0C) + _num(10) + _num(30)
+        + _num(0x0A) + b"\x00" + b"\x80" + b"\xde\xad\xbe\xef"  # bit vector 10 → 1 digest
+        + _num(0x00)
+        # SubStreamsInfo: folder0 → 1 substream, folder1 → 3; sizes for
+        # folder1's first two; kCRC with 3 digests (folder1's only)
+        + _num(0x08)
+        + _num(0x0D) + _num(1) + _num(3)
+        + _num(0x09) + _num(5) + _num(10)
+        + _num(0x0A) + b"\x01" + b"\x01\x02\x03\x04" * 3  # allDefined + 3 digests
+        + _num(0x00)
+        + _num(0x00)
+    )
+    info = _parse_streams_info(io.BytesIO(blob))
+    assert [f.num_substreams for f in info.folders] == [1, 3]
+    assert info.folders[0].crc_defined and not info.folders[1].crc_defined
+    assert info.folders[1].substream_sizes == [5, 10, 15]
+
+
 PAGE2 = (
     "<page><title>Krypton</title><ns>0</ns><id>12</id>"
     "<revision><id>8</id><timestamp>2015-03-01T00:00:00Z</timestamp>"
