@@ -362,3 +362,51 @@ def q_salted_hot_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("event_type"), F.lit("#"), salt.cast("string")),
     ).otherwise(F.col("event_type"))
     return sized.groupBy(key.alias("salted_key")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_temporal_flux",
+    """
+    WITH cm AS (
+      SELECT DISTINCT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS mi
+      FROM orders),
+    a AS (SELECT o_custkey, mi, 1 AS cur FROM cm),
+    b AS (SELECT o_custkey, mi + 1 AS mi, 1 AS prev FROM cm),
+    j AS (
+      SELECT coalesce(a.o_custkey, b.o_custkey) AS k,
+             coalesce(a.mi, b.mi) AS mi, a.cur, b.prev
+      FROM a FULL JOIN b ON a.o_custkey = b.o_custkey AND a.mi = b.mi)
+    SELECT CAST(mi AS BIGINT) AS month_idx,
+           count(cur) AS n_active,
+           count(CASE WHEN cur IS NOT NULL AND prev IS NULL THEN 1 END) AS n_new,
+           count(CASE WHEN cur IS NOT NULL AND prev IS NOT NULL THEN 1 END) AS n_continuing,
+           count(CASE WHEN cur IS NULL AND prev IS NOT NULL THEN 1 END) AS n_churned
+    FROM j GROUP BY mi
+    """,
+)
+def q_temporal_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal entity flux between adjacent cuts — the operator shape
+    behind TempEL's continual/new-entity accounting per snapshot pair
+    (reference s03_final_dataset_creator.py:268-340 categorizes
+    entities as continual vs new per temporal cut; the dataset-creator
+    plan reuses this for its NEW-entities subset). On testdata:
+    distinct (customer, month) memberships self-joined against the
+    shifted previous month — one full outer join keyed on the entity,
+    then a single aggregation; no window over the whole timeline, so
+    it scales to arbitrarily many cuts and 10^9 entities (shuffle is
+    by (entity, month), never a global sort)."""
+    o = t(spark, sf_dir, "orders")
+    cm = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+    ).distinct()
+    a = cm.withColumn("cur", F.lit(1))
+    b = cm.select("o_custkey", (F.col("mi") + 1).alias("mi")).withColumn("prev", F.lit(1))
+    j = a.join(b, ["o_custkey", "mi"], "full")
+    return j.groupBy(F.col("mi").cast("long").alias("month_idx")).agg(
+        F.count("cur").alias("n_active"),
+        F.count(F.when(F.col("cur").isNotNull() & F.col("prev").isNull(), 1)).alias("n_new"),
+        F.count(F.when(F.col("cur").isNotNull() & F.col("prev").isNotNull(), 1)).alias("n_continuing"),
+        F.count(F.when(F.col("cur").isNull() & F.col("prev").isNotNull(), 1)).alias("n_churned"),
+    )

@@ -36,3 +36,45 @@ def test_first_seen_surfaces_state_across_runs(spark):
         assert n3 > n2
         # vocabulary property: (snapshot, surface) unique across all runs
         assert out.select("snapshot_ts", "surface").distinct().count() == n3
+
+
+def test_windowed_agg_watermark_late_data(spark):
+    """Watermarked event-time windows (streaming/windowed.py): a late
+    row INSIDE the horizon lands in its original window before it
+    finalizes; a row LATER than the horizon is dropped; finalized
+    windows are emitted exactly once across reruns."""
+    from tempel_spark.streaming.windowed import stream_windowed_turn_counts
+
+    def rows_df(*ts_list):
+        return spark.createDataFrame(
+            [(f"c{i}", 0, "user", "text", "", ts) for i, ts in enumerate(ts_list)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+        ).selectExpr("conv_id", "turn_idx", "role", "text", "tool", "CAST(ts_s AS TIMESTAMP) AS ts")
+
+    with tempfile.TemporaryDirectory(prefix="wm_") as tmp:
+        inp, outp, ck = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+
+        # batch 1: three rows in the 10:00 window → watermark 8:30, nothing finalizes
+        rows_df("2015-06-01 10:00:00", "2015-06-01 10:10:00", "2015-06-01 10:30:00").write.parquet(f"{inp}/b1")
+        stream_windowed_turn_counts(spark, f"{inp}/*", outp, ck)
+        import glob
+        emitted = lambda: (
+            spark.read.parquet(outp).collect() if glob.glob(f"{outp}/*.parquet") else []
+        )
+        assert emitted() == []
+
+        # batch 2: a LATE row for 10:xx (inside the 2h horizon) plus a
+        # 14:00 row that advances the watermark to 12:00 → the 10:00
+        # window finalizes WITH the late row counted
+        rows_df("2015-06-01 10:20:00", "2015-06-01 14:00:00").write.parquet(f"{inp}/b2")
+        stream_windowed_turn_counts(spark, f"{inp}/*", outp, ck)
+        got = {(r.window_start.hour, r.n_turns) for r in emitted()}
+        assert (10, 4) in got, got  # 3 on-time + 1 late
+
+        # batch 3: a TOO-LATE 10:40 row (watermark 12:00 already past
+        # the window) must be dropped — the finalized window row is
+        # never restated or duplicated
+        rows_df("2015-06-01 10:40:00", "2015-06-01 18:00:00").write.parquet(f"{inp}/b3")
+        stream_windowed_turn_counts(spark, f"{inp}/*", outp, ck)
+        final = [r for r in emitted() if r.window_start.hour == 10]
+        assert len(final) == 1 and final[0].n_turns == 4
