@@ -148,7 +148,7 @@ def connected_components(
     shuffle_partitions: int | None = None,
     resume_state: DataFrame | None = None,
     local_contract: bool = True,
-    contract_min_edges: int = 200_000,
+    single_task_edges: int = 1_000_000,
 ) -> CCResult:
     """edges: undirected pair list. nodes: optional full node universe
     (id column named like ``id_a``) so singletons get their own
@@ -176,13 +176,13 @@ def connected_components(
     try:
         return _cc_loop(
             edges, id_a, id_b, nodes, max_iter, checkpoint_every,
-            durable_checkpoint, resume_state, local_contract, contract_min_edges,
+            durable_checkpoint, resume_state, local_contract, single_task_edges,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
-def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint, resume_state=None, local_contract=True, contract_min_edges=200_000) -> CCResult:
+def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_checkpoint, resume_state=None, local_contract=True, single_task_edges=1_000_000) -> CCResult:
     if resume_state is not None:
         # resumed state is already (near-)star-shaped — contraction
         # would only add a Python pass
@@ -195,21 +195,30 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
         )
     e = e.localCheckpoint(eager=True)
     prev_sig = _signature(e)
-    # contraction pays only past a size floor: the pre-pass costs one
-    # Arrow/Python pass, a saved star round costs ~4 shuffles over the
-    # whole edge list + a driver barrier. Below the floor the loop
-    # converges in ≤ 3 cheap rounds anyway (measured: +1.5-5 s pure
-    # overhead on an 8k-edge graph; the signature above already counts
-    # edges, so the gate is free).
-    if local_contract and resume_state is None and prev_sig[0] >= contract_min_edges:
-        # partition count scales with the MEASURED edge count (~2M
-        # edges per task ⇒ ≤ ~4M-entry union-find dicts), never below
-        # the session width — the caller's shuffle_partitions alone
-        # would let one task swallow a 10^9-edge list into one dict
-        parts = max(
-            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            prev_sig[0] // 2_000_000 + 1,
-        )
+    # Adaptive contraction (the signature above already counted the
+    # edges, so sizing is free):
+    #
+    # * n ≤ single_task_edges: the WHOLE graph fits one union-find
+    #   task (≤ ~200 MB of dict at the 1M default) → parts=1 solves
+    #   CC outright in one pass and the star loop is a single
+    #   verification round instead of ⌈log(diameter)⌉ scheduling-bound
+    #   rounds (measured: 7 rounds / 6 s for a 14.6k-edge pipeline
+    #   graph). This is the GraphX/GraphFrames shrink-to-fewer-tasks
+    #   endgame; big graphs never take this branch.
+    # * larger graphs: distributed pre-contraction with the partition
+    #   count scaled to the edge count (~2M edges per task ⇒ bounded
+    #   per-task dicts, never the session width alone — one task must
+    #   not swallow a 10^9-edge list). A saved star round costs ~4
+    #   edge-list-wide shuffles plus a driver barrier, far more than
+    #   one Arrow pass.
+    if local_contract and resume_state is None and prev_sig[0] > 0:
+        if prev_sig[0] <= single_task_edges:
+            parts = 1
+        else:
+            parts = max(
+                int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                prev_sig[0] // 2_000_000 + 1,
+            )
         e = _local_contract(e, parts).localCheckpoint(eager=True)
         prev_sig = _signature(e)
     history: list[dict] = []

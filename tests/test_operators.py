@@ -50,14 +50,20 @@ def test_cc_local_contract_parity_and_fewer_rounds(spark):
         "id_a string, id_b string",
     )
     base = connected_components(edges, shuffle_partitions=4, local_contract=False)
-    # contract_min_edges=0 forces the pre-pass (the production floor
-    # of 200k edges would skip it on a fixture this small)
-    fast = connected_components(edges, shuffle_partitions=4, local_contract=True, contract_min_edges=0)
+    fast = connected_components(edges, shuffle_partitions=4, local_contract=True)
+    # single_task_edges=0 exercises the DISTRIBUTED contraction branch
+    # (multi-partition union-find) on the same fixture
+    dist = connected_components(edges, shuffle_partitions=4, local_contract=True, single_task_edges=0)
     exp = {r.node: r.component for r in base.components.collect()}
     got = {r.node: r.component for r in fast.components.collect()}
-    assert base.converged and fast.converged
+    got_dist = {r.node: r.component for r in dist.components.collect()}
+    assert base.converged and fast.converged and dist.converged
     assert got == exp
-    assert fast.iterations <= base.iterations
+    assert got_dist == exp
+    # single-task contraction solves the graph outright: the star loop
+    # is one verification round
+    assert fast.iterations == 1
+    assert dist.iterations <= base.iterations
 
 
 def test_alias_table_invariants(spark):
