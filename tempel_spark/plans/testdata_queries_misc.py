@@ -374,8 +374,7 @@ def q_salted_hot_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (SELECT o_custkey, mi, 1 AS cur FROM cm),
     b AS (SELECT o_custkey, mi + 1 AS mi, 1 AS prev FROM cm),
     j AS (
-      SELECT coalesce(a.o_custkey, b.o_custkey) AS k,
-             coalesce(a.mi, b.mi) AS mi, a.cur, b.prev
+      SELECT coalesce(a.mi, b.mi) AS mi, a.cur, b.prev
       FROM a FULL JOIN b ON a.o_custkey = b.o_custkey AND a.mi = b.mi)
     SELECT CAST(mi AS BIGINT) AS month_idx,
            count(cur) AS n_active,

@@ -6,12 +6,14 @@ windowed aggs for late data". `incremental.py` covers stateless
 extraction and `stateful.py` the custom applyInPandasWithState
 operator; this module is the watermarked window:
 
-  mention-rate per (event-time window, surface) with a bounded
-  lateness horizon. A late row inside the watermark still lands in
-  its original window; a row later than the watermark is dropped and
-  the finalized window is never restated — which is what makes
-  append-mode output (one immutable row per closed window) safe to
-  feed the downstream alias-table deltas.
+  turn counts per (event-time window, role) with a bounded lateness
+  horizon. A late row inside the watermark still lands in its
+  original window; a row later than the watermark is dropped and the
+  finalized window is never restated — the append-mode property (one
+  immutable row per closed window) that makes the output safe to
+  consume incrementally. Swapping the `role` key for an extracted
+  surface column gives the per-surface variant; the watermark
+  mechanics are identical.
 
 The reference has no streaming story at all (its incremental notion
 is "skip already-processed qids", s03:277-280); this is the Spark
