@@ -409,3 +409,54 @@ def q_temporal_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("cur").isNotNull() & F.col("prev").isNotNull(), 1)).alias("n_continuing"),
         F.count(F.when(F.col("cur").isNull() & F.col("prev").isNotNull(), 1)).alias("n_churned"),
     )
+
+
+@register(
+    "q_clean_wikitext",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             '{{infobox|x={{nested|y=1}}|z=2}} intro <!-- hidden --> '
+             || '<ref name="a">cite</ref> ' || chr(39)||chr(39)||chr(39)
+             || substr(text, 1, 40) || chr(39)||chr(39)||chr(39)
+             || ' [[File:pic.jpg|thumb|a [[b]] c]] {| rows |} <b>tag</b> tail'
+             || ' ==References== dropped'
+             AS s
+      FROM documents WHERE doc_id % 5 = 0),
+    c1 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM base),
+    c2 AS (SELECT doc_id, regexp_replace(s, '(?si)<ref[^>/]*/>|<ref[^>]*>.*?</ref>', ' ', 'g') AS s FROM c1),
+    c3 AS (SELECT doc_id, regexp_replace(s, '(?si)==\s*(References|External links|See also)\s*==.*$', ' ', 'g') AS s FROM c2),
+    c4 AS (SELECT doc_id, regexp_replace(s, '(?i)\[\[(?:File|Image):[^\[\]]*(?:\[\[[^\[\]]*\]\][^\[\]]*)*\]\]', ' ', 'g') AS s FROM c3),
+    -- innermost-first template removal; the fixture nests depth 2, so
+    -- three passes reach the fixed point (the engine's depth scan
+    -- handles arbitrary depth)
+    t1 AS (SELECT doc_id, regexp_replace(s, '\{\{[^{}]*\}\}', '', 'g') AS s FROM c4),
+    t2 AS (SELECT doc_id, regexp_replace(s, '\{\{[^{}]*\}\}', '', 'g') AS s FROM t1),
+    t3 AS (SELECT doc_id, regexp_replace(s, '\{\{[^{}]*\}\}', '', 'g') AS s FROM t2),
+    c5 AS (SELECT doc_id, regexp_replace(s, '(?s)\{\|.*?\|\}', ' ', 'g') AS s FROM t3),
+    c6 AS (SELECT doc_id, regexp_replace(s, '<[^>]+>', ' ', 'g') AS s FROM c5),
+    c7 AS (SELECT doc_id, replace(replace(s, repeat(chr(39), 3), ''), repeat(chr(39), 2), '') AS s FROM c6)
+    SELECT doc_id, trim(regexp_replace(s, '[ \t]+', ' ', 'g')) AS cleaned
+    FROM c7
+    """,
+)
+def q_clean_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 gross+fine wikitext clean, value-checked end to end:
+    deterministic markup (nested templates, comments, refs, file links
+    with nested brackets, tables, html, bold/italic quotes, a cut
+    heading) wrapped around document text, pushed through the Arrow
+    cleaner (reference misc/cleaning.py:38-195 +
+    recursive_cleaning.py) and matched against a step-by-step DuckDB
+    replication of the same chain."""
+    from tempel_spark.functions.text import clean_wikitext_udf
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    q3 = "'''"
+    marked = F.concat(
+        F.lit('{{infobox|x={{nested|y=1}}|z=2}} intro <!-- hidden --> '),
+        F.lit('<ref name="a">cite</ref> '), F.lit(q3),
+        F.substring("text", 1, 40), F.lit(q3),
+        F.lit(" [[File:pic.jpg|thumb|a [[b]] c]] {| rows |} <b>tag</b> tail"),
+        F.lit(" ==References== dropped"),
+    )
+    return d.select("doc_id", clean_wikitext_udf(marked).alias("cleaned"))
