@@ -51,16 +51,61 @@ def _decode_unknown_stub(payload: bytes) -> dict:
     }
 
 
+# SOF0-15 minus the non-frame markers sharing the 0xC0 block:
+# DHT (0xC4), JPG (0xC8), DAC (0xCC)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _gif_frame_count(p: bytes) -> int:
+    """Walk the GIF block structure and count image descriptors.
+    Sub-blocks are skipped by their length prefixes, so 0x2C bytes
+    inside LZW-compressed data or color tables are never counted.
+    Truncated/malformed tails stop the walk (count-so-far, min 1)."""
+
+    def skip_subblocks(i: int) -> int:
+        while i < len(p) and p[i] != 0:
+            i += 1 + p[i]
+        return i + 1  # past the 0x00 terminator
+
+    i = 10
+    packed = p[i]
+    i = 13  # past logical screen descriptor
+    if packed & 0x80:  # global color table
+        i += 3 * (2 << (packed & 0x07))
+    frames = 0
+    while i < len(p):
+        b = p[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i = skip_subblocks(i + 2)
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            if i + 10 > len(p):
+                break
+            local = p[i + 9]
+            i += 10
+            if local & 0x80:
+                i += 3 * (2 << (local & 0x07))
+            i = skip_subblocks(i + 1)  # past LZW min-code byte
+        else:
+            break
+    return max(1, frames)
+
+
 def decode_header(payload: bytes) -> dict:
     """Real, dependency-free container-header parse → dict(format,
     width, height, n_frames, sample_rate).
 
     PNG:  IHDR width/height (big-endian u32 at offset 16).
-    GIF:  logical-screen u16le at offset 6; frame count = number of
-          image separators (0x2C) following graphics-control blocks
-          (approximate but deterministic).
+    GIF:  logical-screen u16le at offset 6; frame count from a real
+          block walk (color tables, extension + image-data sub-blocks
+          skipped by their length prefixes — a 0x2C inside LZW data is
+          never miscounted as a frame).
     BMP:  BITMAPINFOHEADER i32le at offset 18.
-    JPEG: first SOF0/1/2 marker's height/width u16be.
+    JPEG: first SOF height/width u16be; the marker walk skips 0xFF
+          fill bytes and the length-less standalone markers (TEM,
+          RST0-7, SOI/EOI) so they cannot derail the scan before SOF.
     WAV:  RIFF/WAVE fmt chunk — channels, sample_rate u32le.
     """
     p = payload or b""
@@ -68,22 +113,33 @@ def decode_header(payload: bytes) -> dict:
         if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
             w, h = struct.unpack(">II", p[16:24])
             return {"format": "png", "width": w, "height": h, "n_frames": 1, "sample_rate": 0}
-        if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 13:
             w, h = struct.unpack("<HH", p[6:10])
-            n = max(1, p.count(b"\x2c"))
-            return {"format": "gif", "width": w, "height": h, "n_frames": n, "sample_rate": 0}
+            return {"format": "gif", "width": w, "height": h,
+                    "n_frames": _gif_frame_count(p), "sample_rate": 0}
         if p[:2] == b"BM" and len(p) >= 26:
             w, h = struct.unpack("<ii", p[18:26])
             return {"format": "bmp", "width": w, "height": abs(h), "n_frames": 1, "sample_rate": 0}
         if p[:2] == b"\xff\xd8":  # JPEG SOI; walk markers to SOF
             i = 2
-            while i + 9 < len(p):
+            while i + 1 < len(p):
                 if p[i] != 0xFF:
                     break
+                # 0xFF fill bytes may pad between segments
+                while i + 1 < len(p) and p[i + 1] == 0xFF:
+                    i += 1
                 marker = p[i + 1]
-                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                # standalone markers carry no length segment
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    i += 2
+                    continue
+                if marker in _JPEG_SOF_MARKERS:
+                    if i + 9 > len(p):
+                        break
                     h, w = struct.unpack(">HH", p[i + 5 : i + 9])
                     return {"format": "jpeg", "width": w, "height": h, "n_frames": 1, "sample_rate": 0}
+                if i + 4 > len(p):
+                    break
                 seg = struct.unpack(">H", p[i + 2 : i + 4])[0]
                 i += 2 + seg
             return _decode_unknown_stub(p)

@@ -14,6 +14,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tempel_spark.functions.wikitemplates import expand_inline_templates
+
 __all__ = [
     "normalize_mention",
     "strip_quotes",
@@ -120,10 +122,15 @@ def _strip_templates(s: str) -> str:
 
 
 def _clean_one(s: str) -> str:
+    s = s.replace("&nbsp;", " ")
     s = _RE_COMMENT.sub(" ", s)
     s = _RE_REF.sub(" ", s)
     s = _RE_HEADING_CUT.sub(" ", s)
     s = _RE_FILE.sub(" ", s)
+    # convert-family expansion BEFORE the generic strip (which would
+    # delete these templates): offline dictionary replaces the
+    # reference's memoized expandtemplates API (cleaning.py:72-170)
+    s = expand_inline_templates(s)
     s = _strip_templates(s)
     s = _RE_TABLE.sub(" ", s)
     s = _RE_HTML.sub(" ", s)

@@ -1,0 +1,265 @@
+"""Offline expansion of wikitext inline templates — the reference's
+convert-family handling (misc/cleaning.py:72-170, regex patterns
+misc/compiled_regexes.py:3-9) without its MediaWiki
+``expandtemplates`` API dependency.
+
+The reference memoizes API responses into a shared dictionary; this
+module IS that dictionary, computed: a unit table + the publicly
+documented Convert rounding rule replace the network round-trip, so
+expansion is deterministic, hermetic, and executor-local.  The
+inline keep-inner-text templates (IAST, IPA, transl, CO2-style,
+color, nowrap/nobr/nobreak, mvar, chem, Unicode, wikt links) are the
+reference's own regex substitutions, applied in its order.
+
+Convert rounding (matches the template's documented default): the
+output is rounded either to a precision comparable to the input's —
+decimal digits, adjusted by the conversion factor's magnitude — or
+to two significant figures, whichever is MORE precise.  Verified
+against live renderings: {{convert|5|km|mi}} → "5 kilometres
+(3.1 mi)", {{convert|100|km|mi|abbr=on}} → "100 km (62 mi)",
+{{convert|200|m|ft}} → "200 metres (660 ft)", {{convert|42.195|km|mi}}
+→ "42.195 kilometres (26.219 mi)", {{convert|37|C|F}} → "37 °C
+(99 °F)".  Known divergences from the live template, documented:
+no thousands separators, and unknown units/options degrade to
+deletion — exactly the reference's own offline behavior
+(convert_through_api=False leaves the expansion empty,
+cleaning.py:103-104).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+__all__ = ["expand_convert", "expand_inline_templates"]
+
+# unit code → (singular, plural, symbol, dimension, factor-to-base,
+#              default target).  Aliases share one entry.
+_U = {}
+
+
+def _unit(codes, singular, plural, symbol, dim, factor, default):
+    for c in codes:
+        _U[c] = (singular, plural, symbol, dim, factor, default)
+
+
+_unit(["km"], "kilometre", "kilometres", "km", "L", 1000.0, "mi")
+_unit(["m"], "metre", "metres", "m", "L", 1.0, "ft")
+_unit(["cm"], "centimetre", "centimetres", "cm", "L", 0.01, "in")
+_unit(["mm"], "millimetre", "millimetres", "mm", "L", 0.001, "in")
+_unit(["mi"], "mile", "miles", "mi", "L", 1609.344, "km")
+_unit(["ft"], "foot", "feet", "ft", "L", 0.3048, "m")
+_unit(["yd"], "yard", "yards", "yd", "L", 0.9144, "m")
+_unit(["in"], "inch", "inches", "in", "L", 0.0254, "cm")
+_unit(["kg"], "kilogram", "kilograms", "kg", "M", 1.0, "lb")
+_unit(["g"], "gram", "grams", "g", "M", 0.001, "oz")
+_unit(["t", "tonne"], "tonne", "tonnes", "t", "M", 1000.0, "LT")
+_unit(["lb"], "pound", "pounds", "lb", "M", 0.45359237, "kg")
+_unit(["oz"], "ounce", "ounces", "oz", "M", 0.028349523125, "g")
+_unit(["LT"], "long ton", "long tons", "long tons", "M", 1016.0469088, "t")
+_unit(["km2"], "square kilometre", "square kilometres", "km2", "A", 1e6, "sqmi")
+_unit(["sqmi", "mi2"], "square mile", "square miles", "sq mi", "A", 2589988.110336, "km2")
+_unit(["m2"], "square metre", "square metres", "m2", "A", 1.0, "sqft")
+_unit(["sqft", "ft2"], "square foot", "square feet", "sq ft", "A", 0.09290304, "m2")
+_unit(["ha"], "hectare", "hectares", "ha", "A", 1e4, "acre")
+_unit(["acre"], "acre", "acres", "acres", "A", 4046.8564224, "ha")
+_unit(["L", "l"], "litre", "litres", "L", "V", 1e-3, "USgal")
+_unit(["USgal"], "US gallon", "US gallons", "US gal", "V", 3.785411784e-3, "L")
+_unit(["impgal"], "imperial gallon", "imperial gallons", "imp gal", "V", 4.54609e-3, "L")
+_unit(["km/h", "kph"], "kilometre per hour", "kilometres per hour", "km/h", "S", 1 / 3.6, "mph")
+_unit(["mph"], "mile per hour", "miles per hour", "mph", "S", 0.44704, "km/h")
+_unit(["m/s"], "metre per second", "metres per second", "m/s", "S", 1.0, "ft/s")
+_unit(["ft/s"], "foot per second", "feet per second", "ft/s", "S", 0.3048, "m/s")
+# temperatures convert affinely; factor holds the scale part and the
+# dimension tag routes them through the offset formulas below
+_unit(["C", "°C"], "degree Celsius", "degrees Celsius", "°C", "T", 1.0, "F")
+_unit(["F", "°F"], "degree Fahrenheit", "degrees Fahrenheit", "°F", "T", 5 / 9, "C")
+_unit(["K"], "kelvin", "kelvins", "K", "T", 1.0, "C")
+
+_TEMP_TO_K = {"C": (1.0, 273.15), "F": (5 / 9, 273.15 - 32 * 5 / 9), "K": (1.0, 0.0)}
+
+# particle name → plain-text symbol (the live template renders these
+# with superscript markup; the cleaner would strip that anyway)
+_PARTICLES = {
+    "electron": "e−", "positron": "e+", "proton": "p+", "antiproton": "p−",
+    "neutron": "n0", "antineutron": "n0", "muon": "μ−", "antimuon": "μ+",
+    "tau": "τ−", "antitau": "τ+", "photon": "γ", "gluon": "g",
+    "electron neutrino": "νe", "muon neutrino": "νμ", "tau neutrino": "ντ",
+    "pion": "π", "pion+": "π+", "pion-": "π−", "pion0": "π0",
+    "kaon": "K", "kaon+": "K+", "kaon-": "K−",
+    "w boson": "W", "w boson+": "W+", "w boson-": "W−", "z boson": "Z0",
+    "higgs boson": "H0", "deuteron": "d", "triton": "t", "alpha": "α",
+}
+
+
+def _input_precision(s: str) -> int:
+    """Decimal position of the input's precision: digits after the
+    point, or minus the count of trailing zeros before it."""
+    s = s.lstrip("+-")
+    if "." in s:
+        return len(s.split(".", 1)[1])
+    stripped = s.rstrip("0")
+    if not stripped:  # literally "0"
+        return 0
+    return -(len(s) - len(stripped))
+
+
+def _round_decimal_pos(value: float, factor: float, src: str,
+                       explicit: int | None, sigfig: int | None) -> int:
+    if explicit is not None:
+        return explicit
+    if sigfig is not None and sigfig > 0 and value != 0:
+        return sigfig - 1 - math.floor(math.log10(abs(value)))
+    p = _input_precision(src)
+    # comparable precision: +1 per decade the factor shrinks the value
+    # (doc: ×(0.02,0.2]→+1, ×(0.2,2]→0, ×(2,20]→−1, …)
+    p_adj = p - math.floor(math.log10(factor / 0.2)) if factor > 0 else p
+    # two significant figures
+    q = 1 - math.floor(math.log10(abs(value))) if value != 0 else 0
+    return max(p_adj, q)
+
+
+def _fmt(value: float, decimals: int) -> str:
+    if decimals > 0:
+        return f"{value:.{decimals}f}"
+    return str(int(round(value, decimals)))
+
+
+def _parse_number(s: str) -> float | None:
+    try:
+        return float(s.replace(",", ""))
+    except ValueError:
+        return None
+
+
+def _convert_value(v: float, src: str, dst: str) -> tuple[float, float]:
+    """→ (converted value, effective linear factor for rounding)."""
+    s_u, d_u = _U[src], _U[dst]
+    if s_u[3] == "T":
+        sc, so = _TEMP_TO_K[_canon_temp(src)]
+        dc, do = _TEMP_TO_K[_canon_temp(dst)]
+        k = v * sc + so
+        return (k - do) / dc, sc / dc
+    f = s_u[4] / d_u[4]
+    return v * f, f
+
+
+def _canon_temp(code: str) -> str:
+    return code.lstrip("°")
+
+
+def expand_convert(args: str) -> str:
+    """Expand the argument string of one ``{{convert|...}}`` to plain
+    text, or '' when the form is outside the offline dictionary (the
+    reference's no-API behavior).  Supports single values and
+    to/–-ranges, abbr=on/off, adj=on, a trailing bare integer as
+    explicit output decimals, and sigfig=N; other key=val options are
+    ignored."""
+    parts = [p.strip() for p in args.split("|") if p.strip() != ""]
+    opts: dict[str, str] = {}
+    explicit: int | None = None
+    pos: list[str] = []
+    for p in parts:
+        if "=" in p:
+            k, v = p.split("=", 1)
+            opts[k.strip().lower()] = v.strip()
+        else:
+            pos.append(p)
+    # trailing bare integer (that is not the leading value) = precision
+    if len(pos) >= 3 and re.fullmatch(r"-?\d+", pos[-1]):
+        explicit = int(pos[-1])
+        pos = pos[:-1]
+
+    values: list[str] = []
+    joiner = None
+    i = 0
+    while i < len(pos) and _parse_number(pos[i]) is not None:
+        values.append(pos[i])
+        i += 1
+        if i < len(pos) and pos[i].lower() in ("to", "-", "–", "and", "by"):
+            joiner = pos[i].lower()
+            i += 1
+    units = pos[i:]
+    if not values or not units or units[0] not in _U:
+        return ""
+    src = units[0]
+    dst = units[1] if len(units) > 1 and units[1] in _U else _U[src][5]
+    if _U[src][3] != _U[dst][3]:
+        return ""
+
+    sigfig = None
+    if "sigfig" in opts and re.fullmatch(r"\d+", opts["sigfig"]):
+        sigfig = int(opts["sigfig"])
+    abbr = opts.get("abbr", "")
+    adj = opts.get("adj", "") == "on"
+
+    in_strs, out_strs = [], []
+    for vs in values:
+        v = _parse_number(vs)
+        conv, f = _convert_value(v, src, dst)
+        dec = _round_decimal_pos(conv, f, vs, explicit, sigfig)
+        in_strs.append(vs)
+        out_strs.append(_fmt(conv, dec))
+
+    j = {"to": " to ", "and": " and ", "by": " by "}.get(joiner, "–")
+    lhs_val = j.join(in_strs) if joiner else "–".join(in_strs) if len(in_strs) > 1 else in_strs[0]
+    rhs_val = (j if joiner else "–").join(out_strs) if len(out_strs) > 1 else out_strs[0]
+
+    s_sing, s_plur, s_sym, _, _, _ = _U[src]
+    d_sym = _U[dst][2]
+    d_plur = _U[dst][1]
+    last = _parse_number(values[-1])
+    # temperatures render with symbols by default (live-template behavior)
+    if abbr == "on" or (_U[src][3] == "T" and abbr != "off"):
+        lhs_unit = s_sym
+    elif adj:
+        return f"{lhs_val}-{s_sing} ({rhs_val} {d_sym})"
+    else:
+        lhs_unit = s_sing if len(values) == 1 and last == 1 else s_plur
+    rhs_unit = d_plur if abbr == "off" else d_sym
+    return f"{lhs_val} {lhs_unit} ({rhs_val} {rhs_unit})"
+
+
+def _expand_particle(name: str) -> str:
+    return _PARTICLES.get(name.strip().lower(), name.strip())
+
+
+# the reference's compiled_all_finder (compiled_regexes.py:8) plus its
+# inline substitutions, in gross_clean order (cleaning.py:72-170)
+_RE_CONVERT_ALL = re.compile(
+    r"(?i)(\{\{SubatomicParticle\|(.*?)\}\})|(\{\{Convert\|(.*?)\}\})"
+)
+_INLINE_RULES: list[tuple[re.Pattern, object]] = [
+    (re.compile(r"(?i)\[\[wikt\:(.*?)\|.*?\]\]"), r"\1"),
+    (re.compile(r"(?i)\{\{IAST\|(.*?)\}\}"), r"\1"),
+    (re.compile(r"(?i)\{\{IPA\|(.*?)\}\}"), r"\1"),
+    (re.compile(r"(?i)\{\{transl\|[a-z\-]{2,10}?\|[A-Za-z]+?\|(.*?)\}\}"), r"\1"),
+    (re.compile(r"(?i)\{\{transl\|[a-z\-]{2,10}?\|(.*?)\}\}"), r"\1"),
+    (re.compile(r"(?i)\{\{([A-Za-z0-9]{1,15})?\}\}"), lambda m: m.group(1) or ""),
+    (re.compile(r"(?i)\{\{color\|(.*?)\|(.*?)\}\}"), r"\2"),
+    (re.compile(r"(?i)\{\{nowrap\|(.*?)\}\}"), r"\1"),
+    (re.compile(r"(?i)\{\{nobr\|(.*?)\}\}"), r"\1"),
+    (re.compile(r"(?i)\{\{nobreak\|(.*?)\}\}"), r"\1"),
+    (re.compile(r"(?i)\{\{mvar\|(.*?)\}\}"), r"\1"),
+    (re.compile(r"(?i)\{\{chem\|(.*?)\}\}"),
+     lambda m: m.group(1).replace("'", "").replace("|", "")),
+    (re.compile(r"(?i)\{\{Unicode\|(.*?)\}\}"), r"\1"),
+]
+
+
+def expand_inline_templates(text: str) -> str:
+    """One pass of the reference's convert-family expansion + inline
+    keep-inner-text substitutions.  Must run BEFORE the generic
+    template strip, which would otherwise delete these."""
+
+    def one(m: re.Match) -> str:
+        if m.group(2) is not None:  # SubatomicParticle
+            return " " + _expand_particle(m.group(2))
+        return " " + expand_convert(m.group(4))
+
+    # the reference splices ' ' + expansion at each match
+    # (cleaning.py:105-107); whitespace collapse later normalizes
+    text = _RE_CONVERT_ALL.sub(one, text)
+    for pat, repl in _INLINE_RULES:
+        text = pat.sub(repl, text)
+    return text

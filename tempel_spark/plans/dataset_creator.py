@@ -217,7 +217,7 @@ def keep_fully_covered(
 
 def balanced_quotas(
     assigned: DataFrame,
-    max_mentions_per_entity: int = 0,
+    max_mentions_per_entity: int = 500,
     seed: int = 42,
 ) -> DataFrame:
     """The V3 balancing algorithm (s03:430-604): per (entity, cut,
@@ -234,6 +234,13 @@ def balanced_quotas(
         meaningful;
       * the unit sampler is a deterministic md5 race, not
         random.sample (R3 discipline).
+
+    max_mentions_per_entity defaults to the reference's production cap
+    (500, s03_dataset_creator.json:50-88) and bounds the unit-race
+    explosion: each entity contributes ≤ cap units per (cut, subset),
+    so the multiset is vocabulary-scale.  Pass 0 to disable only on
+    corpora where per-entity surpluses are known to be bounded — a
+    Zipf-hot entity's uncapped surplus is occurrence-scale.
 
     Output: (entity_id, snapshot_ts, subset, quota).
     """
@@ -364,7 +371,7 @@ def equalize_entity_counts(
 
 def balanced_quotas_positional(
     assigned: DataFrame,
-    max_mentions_per_entity: int = 0,
+    max_mentions_per_entity: int = 500,
     seed: int = 42,
 ) -> DataFrame:
     """The NEW-entities V3 balancing (s03:894-1033): entities are NOT
@@ -469,7 +476,7 @@ def create_new_entities_dataset(
     filters: dict | None = None,
     must_link_ratio: float = 0.2,
     containment_links: bool = True,
-    max_mentions_per_entity: int = 0,
+    max_mentions_per_entity: int = 500,
     seed: int = 42,
     fanout_path: str | None = None,
 ) -> dict[str, DataFrame]:
@@ -517,9 +524,34 @@ def select_mention_instances(
     text, span_start) — 10^12-scale; the allocation table is small →
     broadcast join, and the rank window partitions by (snapshot,
     surface), which is exactly the mention table's natural key
-    distribution (no snapshot-wide collapse)."""
+    distribution (no snapshot-wide collapse).
+
+    Join key: if the mention table carries ``entity_id`` (the anchor
+    target, as the reference's link table always does, s01:287-297)
+    the join includes it, so a surface mapped to several entities in
+    the alias table never fans one occurrence out to multiple
+    (entity, subset) picks.  Without an ``entity_id`` column the
+    caller must guarantee one entity per (snapshot_ts, surface) —
+    true for stats_from_pipeline, whose surfaces are cluster
+    representatives — and a duplicate allocation key raises."""
     al = allocations.select("entity_id", "snapshot_ts", "subset", "surface", "n_to_extract")
-    m = mentions.join(F.broadcast(al), ["snapshot_ts", "surface"])
+    if "entity_id" in mentions.columns:
+        m = mentions.join(F.broadcast(al), ["snapshot_ts", "surface", "entity_id"])
+    else:
+        dup = (
+            al.groupBy("snapshot_ts", "subset", "surface")
+            .agg(F.countDistinct("entity_id").alias("_n_ent"))
+            .filter(F.col("_n_ent") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "select_mention_instances: allocations map one surface to "
+                "multiple entities but the mention table has no entity_id "
+                "column to disambiguate; add entity_id to `mentions`"
+            )
+        m = mentions.join(F.broadcast(al), ["snapshot_ts", "surface"])
     w = Window.partitionBy("snapshot_ts", "subset", "surface", "entity_id").orderBy(
         hash_uniform("mention_id", seed=seed).asc(), F.col("mention_id").asc()
     )
@@ -545,7 +577,7 @@ def create_dataset(
     filters: dict | None = None,
     must_link_ratio: float = 0.2,
     containment_links: bool = True,
-    max_mentions_per_entity: int = 0,
+    max_mentions_per_entity: int = 500,
     n_snapshots: int | None = None,
     seed: int = 42,
     fanout_path: str | None = None,

@@ -402,9 +402,14 @@ def run_pipeline(
             transcripts, mentions_n, norm_components,
             ambiguous_candidates(scored), dim=context_dim,
         )
+        # No broadcast hint: overrides is occurrence-scale (one row per
+        # re-routed mention of a Zipf-hot ambiguous surface), not
+        # vocabulary-scale — at the 10^12-mention posture forcing a
+        # broadcast can OOM the driver.  Catalyst/AQE picks the strategy,
+        # mirroring the embeddings-join above.
         return (
             base.join(
-                F.broadcast(overrides.withColumnRenamed("component", "_ctx_component")),
+                overrides.withColumnRenamed("component", "_ctx_component"),
                 ["snapshot_ts", "mention_id"],
                 "left",
             )

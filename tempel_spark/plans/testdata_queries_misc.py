@@ -419,18 +419,36 @@ def q_temporal_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
              '{{infobox|x={{nested|y=1}}|z=2}} intro <!-- hidden --> '
              || '<ref name="a">cite</ref> ' || chr(39)||chr(39)||chr(39)
              || substr(text, 1, 40) || chr(39)||chr(39)||chr(39)
+             || ' a&nbsp;gap {{convert|5|km|mi}} near {{convert|100|km|mi|abbr=on}}'
+             || ' at {{convert|37|C|F}} word {{IAST|saMskRta}} {{nowrap|no break}}'
+             || ' {{chem|H|2|O}} {{SubatomicParticle|Electron}} {{CO2}}'
              || ' [[File:pic.jpg|thumb|a [[b]] c]] {| rows |} <b>tag</b> tail'
              || ' ==References== dropped'
              AS s
       FROM documents WHERE doc_id % 5 = 0),
-    c1 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM base),
+    c0 AS (SELECT doc_id, replace(s, '&nbsp;', ' ') AS s FROM base),
+    c1 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM c0),
     c2 AS (SELECT doc_id, regexp_replace(s, '(?si)<ref[^>/]*/>|<ref[^>]*>.*?</ref>', ' ', 'g') AS s FROM c1),
     c3 AS (SELECT doc_id, regexp_replace(s, '(?si)==\s*(References|External links|See also)\s*==.*$', ' ', 'g') AS s FROM c2),
     c4 AS (SELECT doc_id, regexp_replace(s, '(?i)\[\[(?:File|Image):[^\[\]]*(?:\[\[[^\[\]]*\]\][^\[\]]*)*\]\]', ' ', 'g') AS s FROM c3),
+    -- convert-family expansion: the engine's offline dictionary
+    -- (functions/wikitemplates.py), materialized here as the same
+    -- template→text mapping (convert/particle splice ' '+expansion,
+    -- inline rules keep inner text in place — cleaning.py:72-170)
+    cx AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(replace(s,
+               '{{convert|5|km|mi}}', ' 5 kilometres (3.1 mi)'),
+               '{{convert|100|km|mi|abbr=on}}', ' 100 km (62 mi)'),
+               '{{convert|37|C|F}}', ' 37 °C (99 °F)'),
+               '{{SubatomicParticle|Electron}}', ' e−'),
+               '{{IAST|saMskRta}}', 'saMskRta'),
+               '{{nowrap|no break}}', 'no break'),
+               '{{chem|H|2|O}}', 'H2O'),
+               '{{CO2}}', 'CO2') AS s FROM c4),
     -- innermost-first template removal; the fixture nests depth 2, so
     -- three passes reach the fixed point (the engine's depth scan
     -- handles arbitrary depth)
-    t1 AS (SELECT doc_id, regexp_replace(s, '\{\{[^{}]*\}\}', '', 'g') AS s FROM c4),
+    t1 AS (SELECT doc_id, regexp_replace(s, '\{\{[^{}]*\}\}', '', 'g') AS s FROM cx),
     t2 AS (SELECT doc_id, regexp_replace(s, '\{\{[^{}]*\}\}', '', 'g') AS s FROM t1),
     t3 AS (SELECT doc_id, regexp_replace(s, '\{\{[^{}]*\}\}', '', 'g') AS s FROM t2),
     c5 AS (SELECT doc_id, regexp_replace(s, '(?s)\{\|.*?\|\}', ' ', 'g') AS s FROM t3),
@@ -444,10 +462,13 @@ def q_clean_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F3 gross+fine wikitext clean, value-checked end to end:
     deterministic markup (nested templates, comments, refs, file links
     with nested brackets, tables, html, bold/italic quotes, a cut
-    heading) wrapped around document text, pushed through the Arrow
-    cleaner (reference misc/cleaning.py:38-195 +
-    recursive_cleaning.py) and matched against a step-by-step DuckDB
-    replication of the same chain."""
+    heading, and the convert-family templates the reference EXPANDS
+    rather than strips — {{convert}}, {{IAST}}, {{nowrap}}, {{chem}},
+    {{SubatomicParticle}}, bare {{CO2}}-style) wrapped around document
+    text, pushed through the Arrow cleaner (reference
+    misc/cleaning.py:38-195 + recursive_cleaning.py +
+    compiled_regexes.py:3-9) and matched against a step-by-step DuckDB
+    replication of the same chain, expansion dictionary included."""
     from tempel_spark.functions.text import clean_wikitext_udf
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
@@ -456,7 +477,129 @@ def q_clean_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('{{infobox|x={{nested|y=1}}|z=2}} intro <!-- hidden --> '),
         F.lit('<ref name="a">cite</ref> '), F.lit(q3),
         F.substring("text", 1, 40), F.lit(q3),
+        F.lit(" a&nbsp;gap {{convert|5|km|mi}} near {{convert|100|km|mi|abbr=on}}"),
+        F.lit(" at {{convert|37|C|F}} word {{IAST|saMskRta}} {{nowrap|no break}}"),
+        F.lit(" {{chem|H|2|O}} {{SubatomicParticle|Electron}} {{CO2}}"),
         F.lit(" [[File:pic.jpg|thumb|a [[b]] c]] {| rows |} <b>tag</b> tail"),
         F.lit(" ==References== dropped"),
     )
     return d.select("doc_id", clean_wikitext_udf(marked).alias("cleaned"))
+
+
+@register(
+    "q_sql_dump_page_props",
+    """
+    SELECT n_nationkey + 100 AS page_id, 'Q' || n_nationkey AS qid
+    FROM nation
+    """,
+)
+def q_sql_dump_page_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 typed: the reference's page_props parser
+    (load_wiki_sql_tables.py:25-59 — keep property='wikibase_item',
+    page_id→int, value=QID) checked as a ROUND TRIP: dump INSERT
+    lines are BUILT from the nation table (multi-tuple lines, decoy
+    'displaytitle' rows, NULL sortkeys), pushed through the typed
+    parser, and must invert exactly to the oracle's direct
+    projection."""
+    from tempel_spark.sources.wiki_sql import parse_page_props_lines
+
+    n = t(spark, sf_dir, "nation")
+    tup = F.format_string(
+        "(%s,'wikibase_item','Q%s',NULL),(%s,'displaytitle','<i>%s</i>',NULL)",
+        (F.col("n_nationkey") + 100).cast("string"),
+        F.col("n_nationkey").cast("string"),
+        (F.col("n_nationkey") + 100).cast("string"),
+        F.col("n_name"),
+    )
+    lines = (
+        n.groupBy((F.col("n_nationkey") % 5).alias("_g"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("n_nationkey").alias("k"), tup.alias("tup")))),
+                    lambda s: s["tup"],
+                ),
+                ",",
+            ).alias("_body")
+        )
+        .select(F.concat(F.lit("INSERT INTO `page_props` VALUES "), F.col("_body"), F.lit(";")).alias("value"))
+    )
+    return parse_page_props_lines(lines).select(
+        "page_id", "qid"
+    )
+
+
+@register(
+    "q_sql_dump_redirect",
+    """
+    WITH pages AS (
+      SELECT n_nationkey + 100 AS page_id, n_name || '''s_page' AS title
+      FROM nation WHERE n_nationkey % 5 <> 4),
+    reds AS (
+      SELECT n1.n_nationkey + 500 AS page_id_from, n2.n_name || '''s_page' AS title_to
+      FROM nation n1 JOIN nation n2 ON n2.n_nationkey = (n1.n_nationkey + 7) % 25
+      WHERE n1.n_nationkey % 3 <> 2)
+    SELECT r.page_id_from, p.page_id AS page_id_to, r.title_to
+    FROM reds r JOIN pages p ON p.title = r.title_to
+    """,
+)
+def q_sql_dump_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 typed: the reference's page + redirect parsers
+    (load_wiki_sql_tables.py:85-131,155-211 — namespace-0 filters,
+    ``\\'`` title unquoting, title→page_id dict resolution as an
+    equi-join) round-tripped: page and redirect dump lines are built
+    from nation (titles contain an escaped quote, namespace decoys on
+    both tables, redirect targets pointing at dropped-namespace pages
+    vanish through the join) and the typed parse must reproduce the
+    oracle's direct relational computation."""
+    from tempel_spark.sources.wiki_sql import parse_page_lines, parse_redirect_lines
+
+    n = t(spark, sf_dir, "nation")
+    title = F.concat(F.col("n_name"), F.lit("'s_page"))
+    esc_title = F.regexp_replace(title, "'", r"\\'")
+    page_tup = F.format_string(
+        "(%s,%s,'%s','','',0,0,0.5,'20240101000000',NULL,1,1000)",
+        (F.col("n_nationkey") + 100).cast("string"),
+        F.when(F.col("n_nationkey") % 5 == 4, F.lit(6)).otherwise(F.lit(0)).cast("string"),
+        esc_title,
+    )
+    page_lines = (
+        n.groupBy((F.col("n_nationkey") % 4).alias("_g"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("n_nationkey").alias("k"), page_tup.alias("tup")))),
+                    lambda s: s["tup"],
+                ),
+                ",",
+            ).alias("_body")
+        )
+        .select(F.concat(F.lit("INSERT INTO `page` VALUES "), F.col("_body"), F.lit(";")).alias("value"))
+    )
+
+    tgt = n.select(
+        F.col("n_nationkey").alias("_tk"),
+        F.regexp_replace(F.concat(F.col("n_name"), F.lit("'s_page")), "'", r"\\'").alias("_t_esc"),
+    )
+    red_src = n.join(tgt, ((F.col("n_nationkey") + 7) % 25) == F.col("_tk"))
+    red_tup = F.format_string(
+        "(%s,%s,'%s','','')",
+        (F.col("n_nationkey") + 500).cast("string"),
+        F.when(F.col("n_nationkey") % 3 == 2, F.lit(1)).otherwise(F.lit(0)).cast("string"),
+        F.col("_t_esc"),
+    )
+    red_lines = (
+        red_src.groupBy((F.col("n_nationkey") % 4).alias("_g"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("n_nationkey").alias("k"), red_tup.alias("tup")))),
+                    lambda s: s["tup"],
+                ),
+                ",",
+            ).alias("_body")
+        )
+        .select(F.concat(F.lit("INSERT INTO `redirect` VALUES "), F.col("_body"), F.lit(";")).alias("value"))
+    )
+    page = parse_page_lines(page_lines)
+    return parse_redirect_lines(red_lines, page).select("page_id_from", "page_id_to", "title_to")

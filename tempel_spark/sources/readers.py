@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["read_sql_dump_inserts", "read_tsv", "read_jsonl"]
+__all__ = [
+    "read_sql_dump_inserts",
+    "parse_insert_lines",
+    "read_tsv",
+    "read_jsonl",
+]
 
 
 def read_sql_dump_inserts(
@@ -30,7 +35,14 @@ def read_sql_dump_inserts(
     The dump format quotes strings with '...' and \\-escapes; we
     normalize both. gzip is transparent to spark.read.text.
     """
-    lines = spark.read.text(path)
+    return parse_insert_lines(spark.read.text(path), table, n_fields)
+
+
+def parse_insert_lines(lines: DataFrame, table: str, n_fields: int) -> DataFrame:
+    """The tuple-parsing core of `read_sql_dump_inserts` over an
+    in-plan `value: string` column of dump lines — lets callers parse
+    dump text from any source (files, test fixtures, other columns)
+    with the identical projection."""
     ins = lines.filter(F.col("value").startswith(f"INSERT INTO `{table}` VALUES"))
     # tuples: '(' ... ')' at depth 0, honoring quoted commas/parens
     tup_re = r"\((?:[^()']|'(?:\\'|\\\\|[^'])*')*\)"

@@ -393,16 +393,20 @@ class SevenZArchive:
             if out:
                 yield out
 
-    def iter_chunks(self, name: str, chunk: int = 1 << 20) -> Iterator[bytes]:
+    def iter_chunks(self, name: str | int, chunk: int = 1 << 20) -> Iterator[bytes]:
         """Stream one member's decompressed bytes without materializing
-        the whole member (the reader's hot path for multi-GB dumps)."""
-        idx = self.namelist().index(name)
+        the whole member (the reader's hot path for multi-GB dumps).
+
+        `name` may be an int member index: duplicate member names are
+        legal in 7z, and name lookup resolves to the FIRST match — use
+        the index form (positions per `namelist()`) to reach the rest."""
+        idx = name if isinstance(name, int) else self.namelist().index(name)
         entry = self._files[idx]
         if not entry.has_stream:
             return
-        # locate the member inside its folder's substream sequence
-        stream_files = [e for e in self._files if e.has_stream]
-        pos = stream_files.index(entry)
+        # substream position = count of streamed entries before idx
+        # (positional, not value-equality — entries can compare equal)
+        pos = sum(1 for e in self._files[:idx] if e.has_stream)
         folder_idx, start = 0, 0
         for fo in self._streams.folders:
             if pos < fo.num_substreams:
@@ -421,7 +425,7 @@ class SevenZArchive:
                 return
             yield block[max(0, start - lo): min(len(block), end - lo)]
 
-    def read(self, name: str) -> bytes:
+    def read(self, name: str | int) -> bytes:
         return b"".join(self.iter_chunks(name))
 
     def iter_all(self, chunk: int = 1 << 20) -> Iterator[tuple[str, bytes]]:

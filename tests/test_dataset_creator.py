@@ -322,3 +322,38 @@ def test_new_entities_dataset(spark):
         containment_links=False, max_mentions_per_entity=8,
     )
     assert sorted(map(tuple, quotas.collect())) == sorted(map(tuple, res2["quotas"].collect()))
+
+
+def test_instance_pick_entity_aware_join(spark):
+    """r2 ADVICE: a surface mapped to TWO entities in the alias table
+    must not fan one occurrence out to both — with entity_id on the
+    mention table the pick joins on it; without it the ambiguity
+    raises instead of silently duplicating mention_ids."""
+    import pytest
+
+    from tempel_spark.plans.dataset_creator import select_mention_instances
+
+    al = spark.createDataFrame(
+        [("e1", "2014-01-01", "train", "acme", 2),
+         ("e2", "2014-01-01", "train", "acme", 1)],
+        "entity_id string, snapshot_ts string, subset string, surface string, n_to_extract int",
+    )
+    occ = spark.createDataFrame(
+        [("2014-01-01", "acme", f"m{i}", "lead acme trail", 5,
+          "e1" if i < 4 else "e2") for i in range(6)],
+        "snapshot_ts string, surface string, mention_id string, "
+        "text string, span_start int, entity_id string",
+    )
+    picked = select_mention_instances(occ, al)
+    rows = picked.collect()
+    # exactly n_to_extract per (entity, subset); no mention serves two entities
+    per_entity = {}
+    for r in rows:
+        per_entity.setdefault(r.entity_id, set()).add(r.mention_id)
+    assert len(per_entity["e1"]) == 2 and len(per_entity["e2"]) == 1
+    assert not (per_entity["e1"] & per_entity["e2"])
+    picked_ids = {r.mention_id for r in rows}
+    assert len(picked_ids) == len(rows) == 3
+
+    with pytest.raises(ValueError, match="entity_id"):
+        select_mention_instances(occ.drop("entity_id"), al).count()

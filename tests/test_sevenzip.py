@@ -76,18 +76,24 @@ def _wrap(packed: bytes, header: bytes) -> bytes:
     )
 
 
-def build_7z(members: dict[str, bytes], encoded_header: bool = False) -> bytes:
-    """Single-folder LZMA1 archive with N members (substreams)."""
-    payload = b"".join(members.values())
+def build_7z(
+    members: dict[str, bytes] | list[tuple[str, bytes]],
+    encoded_header: bool = False,
+) -> bytes:
+    """Single-folder LZMA1 archive with N members (substreams).
+    A list of (name, bytes) pairs allows duplicate member names,
+    which are legal in 7z."""
+    items = list(members.items()) if isinstance(members, dict) else list(members)
+    payload = b"".join(v for _, v in items)
     props, packed = _lzma1_pack(payload)
     folder = _folder_bytes(b"\x03\x01\x01", props)
-    sizes = [len(v) for v in members.values()]
+    sizes = [len(v) for _, v in items]
     header = (
         _num(0x01)
         + _num(0x04)
         + _streams_info(0, [len(packed)], folder, len(payload),
                         substream_sizes=sizes if len(sizes) > 1 else None)
-        + _num(0x05) + _num(len(members)) + _names_block(list(members))
+        + _num(0x05) + _num(len(items)) + _names_block([n for n, _ in items])
         + _num(0x00)
         + _num(0x00)
     )
@@ -125,6 +131,18 @@ def test_roundtrip_multi_member_substreams():
     # tiny chunk size forces the substream slicing across chunks
     got = b"".join(ar.iter_chunks("b.txt", chunk=7))
     assert got == members["b.txt"]
+
+
+def test_duplicate_member_names_index_access():
+    # duplicate names are legal in 7z; name lookup hits the first,
+    # the positional form reaches every entry
+    members = [("dump.xml", b"first copy\n"), ("dump.xml", b"second copy, different\n")]
+    ar = SevenZArchive(build_7z(members))
+    assert ar.namelist() == ["dump.xml", "dump.xml"]
+    assert ar.read("dump.xml") == b"first copy\n"
+    assert ar.read(0) == b"first copy\n"
+    assert ar.read(1) == b"second copy, different\n"
+    assert b"".join(ar.iter_chunks(1, chunk=5)) == b"second copy, different\n"
 
 
 def test_encoded_header():
