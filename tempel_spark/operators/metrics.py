@@ -163,3 +163,49 @@ def acc_at_k(
             for k in ks
         ],
     )
+
+
+def paper_stats_matrix(
+    candidates: DataFrame,
+    years: list[int],
+    k: int = 64,
+    category_col: str = "category",
+    train_col: str = "train_year",
+    test_col: str = "test_year",
+    subset_col: str = "subset",
+    query_col: str = "mention_id",
+    score_col: str = "score",
+    correct_col: str = "correct",
+) -> DataFrame:
+    """The s08 paper-stats composition end to end: test-subset
+    predictions → micro-averaged acc@k per (category, train-year,
+    test-year) → train-year × test-year pivot per category — the
+    paper's Table-2 layout (s08_all_paper_stats.py:249-365,504-526;
+    metric definition misc_utils.py:209-242; the reference builds it
+    with four pandas groupby/pivot_table passes over the collected
+    results frame).
+
+    `years` is required (explicit pivot values keep the schema static
+    — no extra discovery pass over a potentially huge predictions
+    table). Output: (category, train_year, y{yyyy}...) with acc@k in
+    each test-year cell; cells with no predictions stay NULL, exactly
+    like the reference's pivot_table holes."""
+    test = candidates.filter(F.col(subset_col) == "test")
+    acc = acc_at_k(
+        test,
+        query_col=query_col,
+        score_col=score_col,
+        correct_col=correct_col,
+        group_cols=[category_col, train_col, test_col],
+        ks=[k],
+    )
+    piv = (
+        acc.groupBy(category_col, train_col)
+        .pivot(test_col, years)
+        .agg(F.first(f"acc_at_{k}"))
+    )
+    return piv.select(
+        category_col,
+        train_col,
+        *[F.round(F.col(f"`{y}`"), 6).alias(f"y{y}") for y in years],
+    )

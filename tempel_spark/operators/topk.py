@@ -99,12 +99,31 @@ def ivf_topk(
     cand_id: str = "cand_id",
     q_emb: str = "q_emb",
     c_emb: str = "c_emb",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's hyperplane bucket.
-    Recall < 1 by design (like IVF nprobe=1); the scale path when the
-    query side is too big to broadcast — the bucket equi-join shuffles
-    both sides on the bucket key instead of replicating anything."""
-    qb = queries.withColumn("_bucket", hyperplane_bucket(q_emb, n_bits))
+    """Approximate top-k: search the query's hyperplane bucket, plus —
+    with ``nprobe`` > 1 — its Hamming-1 neighbor buckets (flip one
+    sign bit each; the FAISS multi-probe idea, reference ANN role
+    faiss_indexer.py:61-126).  nprobe=1 is the cheapest/lowest-recall
+    setting; nprobe=n_bits+1 probes every Hamming-1 neighbor; values
+    in between flip the lowest-index bits first.  Recall < 1 by
+    design; tests/test_new_operators.py pins a recall@k floor vs
+    brute force.
+
+    Scale shape: the bucket equi-join shuffles both sides on the
+    bucket key instead of replicating anything; multi-probe only
+    explodes the (small) query side nprobe-fold, the candidate side
+    is untouched.  Each candidate lives in exactly one bucket and the
+    probe list is distinct, so no (query, candidate) pair dedup is
+    needed before ranking."""
+    base = hyperplane_bucket(q_emb, n_bits)
+    if nprobe > 1:
+        probes = F.array(
+            base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(min(nprobe - 1, n_bits))]
+        )
+        qb = queries.withColumn("_bucket", F.explode(probes))
+    else:
+        qb = queries.withColumn("_bucket", base)
     cb = candidates.withColumn("_bucket", hyperplane_bucket(c_emb, n_bits))
     sim = cosine_sim(q_emb, c_emb)
     w = Window.partitionBy(query_id).orderBy(F.col("_score").desc(), F.col(cand_id))

@@ -603,3 +603,65 @@ def q_sql_dump_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     page = parse_page_lines(page_lines)
     return parse_redirect_lines(red_lines, page).select("page_id_from", "page_id_to", "title_to")
+
+
+@register(
+    "q_paper_stats_matrix",
+    """
+    WITH preds AS (
+      SELECT o_orderkey AS mention_id,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'shared' ELSE 'new_entities' END AS category,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'validation' ELSE 'test' END AS subset,
+             2013 + o_custkey % 3 AS train_year,
+             2013 + o_orderkey % 3 AS test_year,
+             i,
+             (o_orderkey % 50) + 7 * (i % 2) AS score,
+             (i = o_orderkey % 5) AS correct
+      FROM orders CROSS JOIN range(4) AS t(i)),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY category, train_year, test_year, mention_id
+               ORDER BY score DESC, correct ASC) AS rnk
+      FROM preds WHERE subset = 'test'),
+    perq AS (
+      SELECT category, train_year, test_year, mention_id,
+             min(CASE WHEN correct THEN rnk END) AS gold_rank
+      FROM ranked GROUP BY 1, 2, 3, 4)
+    SELECT category, train_year,
+           round(avg(CASE WHEN test_year = 2013 THEN
+                 CASE WHEN gold_rank <= 64 THEN 1 ELSE 0 END END), 6) AS y2013,
+           round(avg(CASE WHEN test_year = 2014 THEN
+                 CASE WHEN gold_rank <= 64 THEN 1 ELSE 0 END END), 6) AS y2014,
+           round(avg(CASE WHEN test_year = 2015 THEN
+                 CASE WHEN gold_rank <= 64 THEN 1 ELSE 0 END END), 6) AS y2015
+    FROM perq GROUP BY 1, 2
+    """,
+)
+def q_paper_stats_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+A11 composed end to end — the s08 paper-stats report
+    (VERDICT r2 #4): fixture predictions built from orders (4 scored
+    candidates per mention with deterministic tied scores, a gold at
+    position orderkey%5 — absent when %5 = 4, i.e. real misses — and
+    validation-subset decoys), pushed through
+    metrics.paper_stats_matrix: test-filter → micro-averaged acc@64
+    per (category, train_year, test_year) → train-year × test-year
+    pivot per category, the paper's Table-2 layout
+    (s08_all_paper_stats.py:249-365,504-526, misc_utils.py:209-242)."""
+    from tempel_spark.operators.metrics import paper_stats_matrix
+
+    o = t(spark, sf_dir, "orders")
+    preds = o.select(
+        F.col("o_orderkey").alias("mention_id"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("shared"))
+        .otherwise(F.lit("new_entities")).alias("category"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("validation"))
+        .otherwise(F.lit("test")).alias("subset"),
+        (F.lit(2013) + F.col("o_custkey") % 3).alias("train_year"),
+        (F.lit(2013) + F.col("o_orderkey") % 3).alias("test_year"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+    ).select(
+        "mention_id", "category", "subset", "train_year", "test_year",
+        ((F.col("mention_id") % 50) + 7 * (F.col("i") % 2)).alias("score"),
+        (F.col("i") == F.col("mention_id") % 5).alias("correct"),
+    )
+    return paper_stats_matrix(preds, years=[2013, 2014, 2015], k=64)

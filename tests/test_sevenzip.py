@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import io
 import lzma
+import os
+import tempfile
 import zlib
 
 import pytest
@@ -291,3 +293,160 @@ def test_read_text_7z(spark, tmp_path):
     rows = read_text_7z(spark, str(tmp_path / "x.7z")).collect()
     got = {(r.member, r.line) for r in rows}
     assert got == {("a.txt", "alpha"), ("a.txt", "beta"), ("b.txt", "gamma")}
+
+
+def _build_7z_two_folders(bz_members, lzma2_members):
+    """Real-dump-layout container: folder 0 = chained BZip2 streams
+    (the multithreaded-bzip2 layout of enwiki exports), folder 1 =
+    LZMA2; members are substreams of their folder, FilesInfo lists
+    them in folder order."""
+    import bz2
+
+    bz_payload = b"".join(v for _, v in bz_members)
+    bz_packed = b"".join(bz2.compress(v) for _, v in bz_members)
+    l_payload = b"".join(v for _, v in lzma2_members)
+    filt = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
+    l_packed = lzma.compress(l_payload, format=lzma.FORMAT_RAW, filters=filt)
+    l_props = lzma._encode_filter_properties(filt[0])  # noqa: SLF001
+
+    si = _num(0x06) + _num(0) + _num(2) + _num(0x09)
+    si += _num(len(bz_packed)) + _num(len(l_packed)) + _num(0x00)
+    si += _num(0x07) + _num(0x0B) + _num(2) + b"\x00"
+    si += _folder_bytes(b"\x04\x02\x02", b"") + _folder_bytes(b"\x21", l_props)
+    si += _num(0x0C) + _num(len(bz_payload)) + _num(len(l_payload)) + _num(0x00)
+    si += _num(0x08) + _num(0x0D) + _num(len(bz_members)) + _num(len(lzma2_members))
+    si += _num(0x09)
+    for _, v in bz_members[:-1]:
+        si += _num(len(v))
+    for _, v in lzma2_members[:-1]:
+        si += _num(len(v))
+    si += _num(0x00)
+    si += _num(0x00)
+    names = [n for n, _ in bz_members] + [n for n, _ in lzma2_members]
+    header = (
+        _num(0x01) + _num(0x04) + si
+        + _num(0x05) + _num(len(names)) + _names_block(names)
+        + _num(0x00) + _num(0x00)
+    )
+    return _wrap(bz_packed + l_packed, header)
+
+
+def _mw(body: str) -> bytes:
+    return (
+        '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/" xml:lang="en">\n'
+        "  <siteinfo><sitename>Wikipedia</sitename><dbname>enwiki</dbname></siteinfo>\n"
+        + body + "\n</mediawiki>\n"
+    ).encode()
+
+
+def _rev(rid, ts, text):
+    return (
+        f"<revision><id>{rid}</id><parentid>0</parentid>"
+        f"<timestamp>{ts}</timestamp>"
+        f"<contributor><username>Ed</username><id>1</id></contributor>"
+        f"<comment>edit</comment><model>wikitext</model><format>text/x-wiki</format>"
+        f'<text bytes="{len(text)}" xml:space="preserve">{text}</text>'
+        f"<sha1>deadbeef</sha1></revision>"
+    )
+
+
+def test_enwiki_layout_dump_end_to_end(spark):
+    """r2 VERDICT #6: S1 beyond hand-built container bytes — an
+    archive in the actual enwiki-history export layout (multi-page,
+    multi-revision, chained-BZip2 AND LZMA2 folders, siteinfo
+    preamble, <redirect> elements, contributor/sha1 revision fields,
+    UTF-8 text, a non-article namespace page) driven through
+    read_revision_history_7z → redirect/ns filters → as-of stable
+    fold → wikitext clean (convert expansion) → mention extraction,
+    asserting the final (page, cut, mention) rows."""
+    from pyspark.sql import functions as F
+
+    from tempel_spark.functions.mentions import extract_mentions_pandas
+    from tempel_spark.functions.text import clean_wikitext_udf
+    from tempel_spark.operators.asof import asof_stable_version
+    from tempel_spark.sources.xml_history import read_revision_history_7z
+
+    falcon = "<page><title>Falcon</title><ns>0</ns><id>11</id>" + _rev(
+        101, "2013-05-01T00:00:00Z",
+        "The [[Peregrine Falcon|peregrine]] dives at {{convert|389|km/h|mph}} speed.",
+    ) + _rev(
+        102, "2014-06-01T00:00:00Z",
+        "The [[Peregrine Falcon|peregrine]] and [[Kestrel]] soar.",
+    ) + _rev(
+        103, "2014-12-28T23:00:00Z", "Vandalized [[Junk]] text",
+    ) + "</page>"
+    duck = (
+        '<page><title>Duck Hawk</title><ns>0</ns><id>12</id>'
+        '<redirect title="Falcon"/>'
+        + _rev(201, "2013-02-01T00:00:00Z", "#REDIRECT [[Falcon]]") + "</page>"
+    )
+    krypton = "<page><title>Krypton</title><ns>0</ns><id>13</id>" + _rev(
+        301, "2013-03-01T00:00:00Z", "A [[Noble gas|noble]] gaß element.",
+    ) + _rev(
+        302, "2014-03-15T00:00:00Z", "[[Noble gas]] and [[Xenon]] mixes.",
+    ) + "</page>"
+    template = "<page><title>Template:Foo</title><ns>10</ns><id>14</id>" + _rev(
+        401, "2013-01-15T00:00:00Z", "[[ShouldNotAppear]]",
+    ) + "</page>"
+
+    blob = _build_7z_two_folders(
+        bz_members=[
+            ("enwiki-part1.xml", _mw(falcon)),
+            ("enwiki-part2.xml", _mw(duck)),
+        ],
+        lzma2_members=[("enwiki-part3.xml", _mw(krypton + template))],
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "enwiki-history.7z")
+        with open(path, "wb") as fh:
+            fh.write(blob)
+
+        revs = read_revision_history_7z(spark, path).cache()
+        # reader fidelity: every revision of every member surfaced,
+        # redirect attribute captured, namespaces intact
+        assert {(r.page_id, r.rev_id) for r in revs.collect()} == {
+            (11, 101), (11, 102), (11, 103), (12, 201), (13, 301), (13, 302), (14, 401),
+        }
+        assert {r.redirect for r in revs.filter("page_id = 12").collect()} == {"Falcon"}
+
+        # the reference's processing chain (s01:400-513): redirect +
+        # namespace filters, then the W5 stable fold per cut
+        articles = revs.filter((F.col("ns") == 0) & (F.col("redirect") == ""))
+        folded = asof_stable_version(
+            articles.withColumn("rev_ts", F.to_timestamp("rev_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+            key_cols=["page_id"],
+            snapshots=["2014-01-01 00:00:00", "2015-01-01 00:00:00"],
+        )
+        picked = {(r.page_id, str(r.snapshot_ts)): r.rev_id for r in folded.collect()}
+        assert picked == {
+            (11, "2014-01-01 00:00:00"): 101,   # aged past look-back
+            (11, "2015-01-01 00:00:00"): 102,   # 103 too fresh → demoted
+            (13, "2014-01-01 00:00:00"): 301,
+            (13, "2015-01-01 00:00:00"): 302,   # already old at cut (292 d)
+        }
+
+        # clean: the convert template EXPANDS (389 km/h → 242 mph)
+        cleaned = folded.select("page_id", "snapshot_ts", clean_wikitext_udf("rev_text").alias("c"))
+        c14 = {r.page_id: r.c for r in cleaned.filter("snapshot_ts = '2014-01-01'").collect()}
+        assert "389 kilometres per hour (242 mph)" in c14[11]
+        assert "gaß" in c14[13]  # UTF-8 survived byte-level chunk splits
+
+        # mention extraction on the stable source (s01:458-462)
+        m = extract_mentions_pandas(
+            folded.select(
+                F.col("page_id").cast("string").alias("conv_id"),
+                F.col("rev_id").alias("turn_idx"),
+                "snapshot_ts",
+                F.col("rev_text").alias("text"),
+            )
+        )
+        got = {(r.conv_id, str(r.snapshot_ts), r.target_id) for r in m.collect()}
+        assert got == {
+            ("11", "2014-01-01 00:00:00", "Peregrine_Falcon"),
+            ("11", "2015-01-01 00:00:00", "Peregrine_Falcon"),
+            ("11", "2015-01-01 00:00:00", "Kestrel"),
+            ("13", "2014-01-01 00:00:00", "Noble_gas"),
+            ("13", "2015-01-01 00:00:00", "Noble_gas"),
+            ("13", "2015-01-01 00:00:00", "Xenon"),
+        }
