@@ -14,7 +14,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pairwise_f1", "eval_labeled_pairs", "cluster_canonical_names", "acc_at_k", "DEFAULT_KS"]
+__all__ = [
+    "pairwise_f1",
+    "eval_labeled_pairs",
+    "cluster_canonical_names",
+    "acc_at_k",
+    "paper_stats_matrix",
+    "candidate_similarity_by_cut",
+    "DEFAULT_KS",
+]
 
 DEFAULT_KS = [1, 2, 4, 8, 16, 32, 64]
 
@@ -208,4 +216,55 @@ def paper_stats_matrix(
         category_col,
         train_col,
         *[F.round(F.col(f"`{y}`"), 6).alias(f"y{y}") for y in years],
+    )
+
+
+def candidate_similarity_by_cut(
+    candidates: DataFrame,
+    cut_col: str = "cut",
+    finetune_col: str = "finetune_cut",
+    query_col: str = "mention_id",
+    rank_col: str = "rank",
+    text_col: str = "cand_text",
+) -> DataFrame:
+    """The s07 candidate-similarity analysis end to end
+    (s07_analyze_similarity_of_predicted_candidates.py:165-228): per
+    mention, token-set Jaccard between CONSECUTIVE ranked candidates
+    — each candidate's token list first truncated to the list-wide
+    minimum length (reference min_cut_length, :195-205) — averaged
+    per mention, then micro-averaged over mentions per cut and
+    macro-averaged (mean of per-finetune-cut means) per cut
+    (:215-228).
+
+    One window chain + two aggregations; the reference holds a
+    qid→text dict of every candidate in RAM (:150-163) — here the
+    text rides the candidate row, so nothing is driver-resident.
+    Output: (cut, jaccard_micro, jaccard_macro, n_mentions)."""
+    w_m = Window.partitionBy(query_col)
+    w_r = Window.partitionBy(query_col).orderBy(rank_col)
+    toks_raw = F.split(F.col(text_col), " ")
+    cand = candidates.withColumn("_ml", F.min(F.size(toks_raw)).over(w_m)).withColumn(
+        "_toks", F.array_distinct(F.slice(toks_raw, 1, F.col("_ml")))
+    )
+    paired = cand.withColumn("_prev", F.lag("_toks").over(w_r)).filter(
+        F.col("_prev").isNotNull()
+    )
+    jac = F.size(F.array_intersect("_toks", "_prev")) / F.size(
+        F.array_union("_toks", "_prev")
+    )
+    per_mention = paired.groupBy(query_col, cut_col, finetune_col).agg(
+        F.avg(jac).alias("_aj")
+    )
+    micro = per_mention.groupBy(cut_col).agg(
+        F.round(F.avg("_aj"), 6).alias("jaccard_micro"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+    macro = (
+        per_mention.groupBy(cut_col, finetune_col)
+        .agg(F.avg("_aj").alias("_ajf"))
+        .groupBy(cut_col)
+        .agg(F.round(F.avg("_ajf"), 6).alias("jaccard_macro"))
+    )
+    return micro.join(macro, cut_col).select(
+        cut_col, "jaccard_micro", "jaccard_macro", "n_mentions"
     )
