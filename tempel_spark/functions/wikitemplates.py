@@ -183,7 +183,16 @@ def expand_convert(args: str) -> str:
     if not values or not units or units[0] not in _U:
         return ""
     src = units[0]
-    dst = units[1] if len(units) > 1 and units[1] in _U else _U[src][5]
+    if len(units) > 1:
+        # an explicitly requested target OUTSIDE the dictionary must
+        # delete (reference no-API behavior), never silently become
+        # the default target — that would fabricate a conversion the
+        # article never stated ('10|km|nmi' must not render as mi)
+        if units[1] not in _U:
+            return ""
+        dst = units[1]
+    else:
+        dst = _U[src][5]
     if _U[src][3] != _U[dst][3]:
         return ""
 

@@ -240,8 +240,11 @@ def candidate_similarity_by_cut(
     qid→text dict of every candidate in RAM (:150-163) — here the
     text rides the candidate row, so nothing is driver-resident.
     Output: (cut, jaccard_micro, jaccard_macro, n_mentions)."""
-    w_m = Window.partitionBy(query_col)
-    w_r = Window.partitionBy(query_col).orderBy(rank_col)
+    # partition by the FULL evaluation key: the same mention can be
+    # scored under several (cut, finetune_cut) runs, and each run's
+    # candidate list must rank/lag/min-length independently
+    w_m = Window.partitionBy(query_col, cut_col, finetune_col)
+    w_r = Window.partitionBy(query_col, cut_col, finetune_col).orderBy(rank_col)
     toks_raw = F.split(F.col(text_col), " ")
     cand = candidates.withColumn("_ml", F.min(F.size(toks_raw)).over(w_m)).withColumn(
         "_toks", F.array_distinct(F.slice(toks_raw, 1, F.col("_ml")))

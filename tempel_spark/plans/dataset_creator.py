@@ -538,19 +538,30 @@ def select_mention_instances(
     if "entity_id" in mentions.columns:
         m = mentions.join(F.broadcast(al), ["snapshot_ts", "surface", "entity_id"])
     else:
-        dup = (
-            al.groupBy("snapshot_ts", "subset", "surface")
-            .agg(F.countDistinct("entity_id").alias("_n_ent"))
-            .filter(F.col("_n_ent") > 1)
-            .limit(1)
-            .count()
+        # lazy in-plan guard, keyed exactly like the join below: a
+        # surface mapped to >1 entity ANYWHERE in the snapshot (even
+        # across subsets) would fan one occurrence into several
+        # (entity, subset) picks, so it must raise at action time.
+        # The assertion is woven into n_to_extract so column pruning
+        # can't elide it, and no eager job runs at plan-build time.
+        amb = al.groupBy("snapshot_ts", "surface").agg(
+            F.countDistinct("entity_id").alias("_n_ent")
         )
-        if dup:
-            raise ValueError(
+        chk = F.assert_true(
+            F.col("_n_ent") == 1,
+            F.lit(
                 "select_mention_instances: allocations map one surface to "
                 "multiple entities but the mention table has no entity_id "
                 "column to disambiguate; add entity_id to `mentions`"
+            ),
+        )
+        al = (
+            al.join(amb, ["snapshot_ts", "surface"])
+            .select(
+                "entity_id", "snapshot_ts", "subset", "surface",
+                F.when(chk.isNull(), F.col("n_to_extract")).alias("n_to_extract"),
             )
+        )
         m = mentions.join(F.broadcast(al), ["snapshot_ts", "surface"])
     w = Window.partitionBy("snapshot_ts", "subset", "surface", "entity_id").orderBy(
         hash_uniform("mention_id", seed=seed).asc(), F.col("mention_id").asc()

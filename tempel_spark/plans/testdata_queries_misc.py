@@ -486,6 +486,27 @@ def q_clean_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", clean_wikitext_udf(marked).alias("cleaned"))
 
 
+
+
+def _insert_lines(df, key_col, tup, table, n_groups):
+    """Deterministic multi-tuple dump lines: per-row tuple strings
+    grouped into `INSERT INTO \`table\` VALUES (...),(...);` lines
+    (key % n_groups per line, key-ordered within the line)."""
+    return (
+        df.groupBy((F.col(key_col) % n_groups).alias("_g"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(key_col).alias("k"), tup.alias("tup")))),
+                    lambda s: s["tup"],
+                ),
+                ",",
+            ).alias("_body")
+        )
+        .select(F.concat(F.lit(f"INSERT INTO `{table}` VALUES "), F.col("_body"), F.lit(";")).alias("value"))
+    )
+
+
 @register(
     "q_sql_dump_page_props",
     """
@@ -511,19 +532,7 @@ def q_sql_dump_page_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nationkey") + 100).cast("string"),
         F.col("n_name"),
     )
-    lines = (
-        n.groupBy((F.col("n_nationkey") % 5).alias("_g"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col("n_nationkey").alias("k"), tup.alias("tup")))),
-                    lambda s: s["tup"],
-                ),
-                ",",
-            ).alias("_body")
-        )
-        .select(F.concat(F.lit("INSERT INTO `page_props` VALUES "), F.col("_body"), F.lit(";")).alias("value"))
-    )
+    lines = _insert_lines(n, "n_nationkey", tup, "page_props", 5)
     return parse_page_props_lines(lines).select(
         "page_id", "qid"
     )
@@ -563,19 +572,7 @@ def q_sql_dump_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_nationkey") % 5 == 4, F.lit(6)).otherwise(F.lit(0)).cast("string"),
         esc_title,
     )
-    page_lines = (
-        n.groupBy((F.col("n_nationkey") % 4).alias("_g"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col("n_nationkey").alias("k"), page_tup.alias("tup")))),
-                    lambda s: s["tup"],
-                ),
-                ",",
-            ).alias("_body")
-        )
-        .select(F.concat(F.lit("INSERT INTO `page` VALUES "), F.col("_body"), F.lit(";")).alias("value"))
-    )
+    page_lines = _insert_lines(n, "n_nationkey", page_tup, "page", 4)
 
     tgt = n.select(
         F.col("n_nationkey").alias("_tk"),
@@ -588,19 +585,7 @@ def q_sql_dump_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_nationkey") % 3 == 2, F.lit(1)).otherwise(F.lit(0)).cast("string"),
         F.col("_t_esc"),
     )
-    red_lines = (
-        red_src.groupBy((F.col("n_nationkey") % 4).alias("_g"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col("n_nationkey").alias("k"), red_tup.alias("tup")))),
-                    lambda s: s["tup"],
-                ),
-                ",",
-            ).alias("_body")
-        )
-        .select(F.concat(F.lit("INSERT INTO `redirect` VALUES "), F.col("_body"), F.lit(";")).alias("value"))
-    )
+    red_lines = _insert_lines(red_src, "n_nationkey", red_tup, "redirect", 4)
     page = parse_page_lines(page_lines)
     return parse_redirect_lines(red_lines, page).select("page_id_from", "page_id_to", "title_to")
 
@@ -675,10 +660,10 @@ def q_paper_stats_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_split(text, ' ') AS toks_raw,
              (doc_id // 5) % 2 AS cut, (doc_id // 5) % 3 AS finetune_cut
       FROM documents),
-    m AS (SELECT *, min(len(toks_raw)) OVER (PARTITION BY mention_id) AS ml FROM cand),
+    m AS (SELECT *, min(len(toks_raw)) OVER (PARTITION BY mention_id, cut, finetune_cut) AS ml FROM cand),
     tk AS (SELECT mention_id, rnk, cut, finetune_cut,
                   list_distinct(list_slice(toks_raw, 1, ml)) AS toks FROM m),
-    pr AS (SELECT *, lag(toks) OVER (PARTITION BY mention_id ORDER BY rnk) AS prev FROM tk),
+    pr AS (SELECT *, lag(toks) OVER (PARTITION BY mention_id, cut, finetune_cut ORDER BY rnk) AS prev FROM tk),
     j AS (SELECT mention_id, cut, finetune_cut,
                  CAST(len(list_intersect(toks, prev)) AS DOUBLE)
                    / len(list_distinct(list_concat(toks, prev))) AS jac

@@ -355,5 +355,23 @@ def test_instance_pick_entity_aware_join(spark):
     picked_ids = {r.mention_id for r in rows}
     assert len(picked_ids) == len(rows) == 3
 
-    with pytest.raises(ValueError, match="entity_id"):
-        select_mention_instances(occ.drop("entity_id"), al).count()
+    # without entity_id the ambiguity raises at ACTION time (lazy
+    # in-plan assert_true — no eager job at plan construction)
+    plan = select_mention_instances(occ.drop("entity_id"), al)
+    with pytest.raises(Exception, match="entity_id"):
+        plan.count()
+
+    # cross-SUBSET ambiguity must raise too: the guard keys on
+    # (snapshot, surface) like the join, not on (snapshot, subset,
+    # surface) — e1→train + e2→test for one surface still fans
+    al_cross = spark.createDataFrame(
+        [("e1", "2014-01-01", "train", "acme", 1),
+         ("e2", "2014-01-01", "test", "acme", 1)],
+        "entity_id string, snapshot_ts string, subset string, surface string, n_to_extract int",
+    )
+    with pytest.raises(Exception, match="entity_id"):
+        select_mention_instances(occ.drop("entity_id"), al_cross).count()
+
+    # unambiguous allocations still flow through the guard untouched
+    al_ok = al.filter(F.col("entity_id") == "e1")
+    assert select_mention_instances(occ.drop("entity_id"), al_ok).count() == 2

@@ -232,6 +232,9 @@ def test_convert_template_expansion():
     # reference's own no-API behavior (cleaning.py:103-104)
     assert expand_convert("5|km|kg") == ""
     assert expand_convert("5|furlongs") == ""
+    # an unknown REQUESTED target also deletes — never silently
+    # substitutes the default target ('10|km|nmi' must not render mi)
+    assert expand_convert("10|km|nmi") == ""
 
     # mid-sentence expansion through the full cleaner, nested in nowrap
     raw = ("The {{nowrap|{{convert|42.195|km|mi}}}} marathon at "
