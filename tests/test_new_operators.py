@@ -361,3 +361,19 @@ def test_ivf_multiprobe_recall_floor(spark):
     assert r1 >= 0.50, r1
     assert r5 >= 0.85, r5
     assert r5 > r1
+
+
+def test_simhash_agg_parity_and_edge_rows(spark):
+    """simhash64_agg (explode → native hash agg, the scale form) is
+    bit-identical to the expression fold, and shingle-less rows
+    survive with hash 0 instead of being dropped by the explode."""
+    from tempel_spark.operators.dedup import simhash64, simhash64_agg
+
+    rows = [(i, f"document number {i} with some shared text body") for i in range(50)]
+    rows += [(100, ""), (101, "ab")]  # shorter than the 3-gram window
+    df = spark.createDataFrame(rows, "id long, text string")
+    a = {r.id: r.simhash for r in simhash64_agg(df, "id", "text").collect()}
+    b = {r.id: r.h for r in df.select("id", simhash64("text").alias("h")).collect()}
+    assert len(a) == len(rows)
+    for i, h in b.items():
+        assert a[i] == h, (i, a[i], h)
