@@ -148,7 +148,9 @@ def detokenize_udf(tokens: pd.Series) -> pd.Series:
 
     def join(toks) -> str:
         out: list[str] = []
-        for t in toks or []:
+        # Arrow hands arrays in as numpy arrays — `toks or []` raises
+        # on multi-element arrays (same guard as sentence_chunks)
+        for t in (toks if toks is not None else []):
             if t.startswith("##") and out:
                 out[-1] += t[2:]
             else:

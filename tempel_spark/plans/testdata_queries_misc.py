@@ -4,6 +4,7 @@ metric arithmetic, array truncation — each with a DuckDB oracle."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -695,3 +696,188 @@ def q_candidate_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "finetune_cut", (F.col("mention_id") % 3).cast("long")
     )
     return candidate_similarity_by_cut(cand)
+
+
+@register(
+    "q_sentence_chunks",
+    """
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, ' '),
+                                        w -> regexp_replace(w, '[^A-Za-z0-9]', '', 'g')),
+                         w -> w <> '') AS toks
+      FROM documents WHERE doc_id % 3 = 0),
+    ok AS (SELECT doc_id, list_slice(toks, 1, 9) AS t FROM base WHERE len(toks) >= 9),
+    sents AS (
+      SELECT doc_id, 1 AS i, array_to_string(list_slice(t, 1, 2), ' ') || '.' AS sent FROM ok
+      UNION ALL
+      SELECT doc_id, 2, array_to_string(list_slice(t, 3, 5), ' ') || '.' FROM ok
+      UNION ALL
+      SELECT doc_id, 3, array_to_string(list_slice(t, 6, 9), ' ') || '.' FROM ok),
+    sw AS (SELECT doc_id, i, sent, len(string_split(sent, ' ')) AS words FROM sents),
+    -- the greedy budget-packing fold as a recursive CTE: one step per
+    -- sentence, counter resets when the budget (5 words) would overflow
+    rec AS (
+      SELECT doc_id, i, sent, words, 1 AS chunk_id, words AS cnt
+      FROM sw WHERE i = 1
+      UNION ALL
+      SELECT s.doc_id, s.i, s.sent, s.words,
+             CASE WHEN r.cnt + s.words > 5 THEN r.chunk_id + 1 ELSE r.chunk_id END,
+             CASE WHEN r.cnt + s.words > 5 THEN s.words ELSE r.cnt + s.words END
+      FROM rec r JOIN sw s ON s.doc_id = r.doc_id AND s.i = r.i + 1)
+    SELECT doc_id, chunk_id - 1 AS chunk_idx,
+           string_agg(sent, ' ' ORDER BY i) AS chunk
+    FROM rec GROUP BY doc_id, chunk_id
+    """,
+)
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 sentence chunking with a FULL value oracle (was
+    pytest-only): deterministic 3-sentence texts (2/3/4 words, built
+    from cleaned document tokens) flow through the real splitter
+    (lookbehind regex) + greedy budget packer
+    (src/models/utils/utils.py:70-127); the DuckDB twin builds the
+    same sentences directly — RE2 has no lookbehind — and replays
+    the greedy fold as a recursive CTE."""
+    from tempel_spark.functions.tokenize import sentence_chunks
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    toks = F.filter(
+        F.transform(F.split("text", " "), lambda w: F.regexp_replace(w, "[^A-Za-z0-9]", "")),
+        lambda w: w != "",
+    )
+    d = d.withColumn("_toks", toks).filter(F.size("_toks") >= 9).withColumn(
+        "_t", F.slice("_toks", 1, 9)
+    )
+    text2 = F.concat(
+        F.array_join(F.slice("_t", 1, 2), " "), F.lit(". "),
+        F.array_join(F.slice("_t", 3, 3), " "), F.lit(". "),
+        F.array_join(F.slice("_t", 6, 4), " "), F.lit("."),
+    )
+    marked = d.select("doc_id", text2.alias("_text"))
+    out = sentence_chunks(marked, "_text", max_words=5)
+    return out.select("doc_id", "chunk_idx", "chunk")
+
+
+@register(
+    "q_detokenize",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             [list_extract(w, 1), '##' || list_extract(w, 2), list_extract(w, 3),
+              '##' || list_extract(w, 4), '##' || list_extract(w, 5)] AS pieces
+      FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS w
+            FROM documents WHERE doc_id % 4 = 0)
+      WHERE len(w) >= 5)
+    SELECT doc_id, replace(array_to_string(pieces, ' '), ' ##', '') AS detok
+    FROM toks
+    """,
+)
+def q_detokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 detokenize with a value oracle (was pytest-only):
+    WordPiece-style token lists built from document words
+    (w1, ##w2, w3, ##w4, ##w5) rejoined by the ##-merge fold
+    (reference misc/utils.py:5-13); the SQL twin is the equivalent
+    join-then-collapse (' ##' never occurs inside a token, so the
+    string replace IS the fold for non-leading pieces)."""
+    from tempel_spark.functions.tokenize import detokenize_udf
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    w = F.slice(F.split("text", " "), 1, 5)
+    d = d.withColumn("_w", w).filter(F.size("_w") >= 5)
+    pieces = F.array(
+        F.element_at("_w", 1),
+        F.concat(F.lit("##"), F.element_at("_w", 2)),
+        F.element_at("_w", 3),
+        F.concat(F.lit("##"), F.element_at("_w", 4)),
+        F.concat(F.lit("##"), F.element_at("_w", 5)),
+    )
+    return d.select("doc_id", detokenize_udf(pieces).alias("detok"))
+
+
+# shared vocab for the WordPiece oracle — single chars guarantee no
+# [UNK]; multi-char pieces exercise greedy longest-match-first and
+# ##-continuations on the fixture's actual words
+_WP_VOCAB = (
+    [c for c in "abcdefghijklmnopqrstuvwxyz"]
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+    + ["key", "agg", "sc", "##an", "ta", "##ble", "sm", "##all", "ba",
+       "##tch", "fa", "##st", "sl", "##ow", "ro", "##w", "the", "##er",
+       "ing", "##ing", "qu", "##ery", "jo", "##in"]
+)
+
+_WP_BARE = "CASE WHEN v.piece LIKE '##%' THEN substr(v.piece, 3) ELSE v.piece END"
+
+
+@register(
+    "q_wordpiece",
+    f"""
+    WITH RECURSIVE
+    vocab(piece) AS (VALUES {", ".join(f"('{p}')" for p in _WP_VOCAB)}),
+    words AS (
+      SELECT doc_id, widx, word FROM (
+        SELECT doc_id, generate_subscripts(w, 1) AS widx, unnest(w) AS word
+        FROM (SELECT doc_id,
+                     list_filter(list_transform(list_slice(string_split(text, ' '), 1, 4),
+                                 t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id % 6 = 0))),
+    wset AS (SELECT DISTINCT word FROM words),
+    -- every (word, pos, piece) match; best = the longest (greedy rule)
+    am AS (
+      SELECT w.word, p.pos, v.piece, length({_WP_BARE}) AS len
+      FROM wset w
+      CROSS JOIN range(100) AS p(pos)
+      JOIN vocab v ON CASE WHEN p.pos = 0 THEN v.piece NOT LIKE '##%'
+                           ELSE v.piece LIKE '##%' END
+      WHERE p.pos < length(w.word)
+        AND substr(w.word, p.pos::int + 1, length({_WP_BARE})) = {_WP_BARE}),
+    best AS (
+      SELECT word, pos, piece, len FROM (
+        SELECT *, row_number() OVER (PARTITION BY word, pos ORDER BY len DESC, piece) AS rn
+        FROM am)
+      WHERE rn = 1),
+    -- the greedy scan as a path walk over best matches
+    rec AS (
+      SELECT word, CAST(0 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS toks FROM wset
+      UNION ALL
+      SELECT r.word, r.pos + b.len,
+             r.toks || CASE WHEN r.toks = '' THEN '' ELSE ' ' END || b.piece
+      FROM rec r JOIN best b ON b.word = r.word AND b.pos = r.pos
+      WHERE r.pos < length(r.word)),
+    done AS (SELECT word, toks FROM rec WHERE pos = length(word))
+    SELECT w.doc_id, w.widx, w.word, d.toks
+    FROM words w JOIN done d USING (word)
+    """,
+)
+def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 WordPiece with a FULL value oracle (was pytest-only): the
+    real greedy longest-match-first algorithm
+    (functions/tokenize.WordPieceTokenizer, reference role
+    s01:404-408 BertTokenizer) over a fixed shared vocabulary; the
+    DuckDB twin materializes the best (longest) vocab match per
+    (word, position) and replays the greedy scan as a recursive path
+    walk — segmentations must agree token-for-token."""
+    from tempel_spark.functions.tokenize import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(set(_WP_VOCAB))
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def wp(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: " ".join(tok.tokenize(w)))
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    w = F.filter(
+        F.transform(
+            F.slice(F.split("text", " "), 1, 4),
+            lambda x: F.lower(F.regexp_replace(x, "[^A-Za-z]", "")),
+        ),
+        lambda x: x != "",
+    )
+    return (
+        d.select("doc_id", F.posexplode(w).alias("_p", "word"))
+        .select("doc_id", (F.col("_p") + 1).cast("long").alias("widx"), "word")
+        .withColumn("toks", wp("word"))
+    )
