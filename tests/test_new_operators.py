@@ -377,3 +377,29 @@ def test_simhash_agg_parity_and_edge_rows(spark):
     assert len(a) == len(rows)
     for i, h in b.items():
         assert a[i] == h, (i, a[i], h)
+
+
+def test_tsv_and_jsonl_readers(spark):
+    """S4/S3: TSV + JSONL scans with explicit schemas (the thin
+    wrappers were the last untested source rows)."""
+    from tempel_spark.sources.readers import read_jsonl, read_tsv
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tsv = os.path.join(tmp, "stats.tsv")
+        with open(tsv, "w") as fh:
+            fh.write("mention\ttarget_qid\tprior\n")
+            fh.write("paris\tQ90\t0.8\n")
+            fh.write("paris texas\tQ830149\t0.2\n")
+        got = {
+            r.mention: (r.target_qid, r.prior)
+            for r in read_tsv(
+                spark, tsv, "mention string, target_qid string, prior double"
+            ).collect()
+        }
+        assert got == {"paris": ("Q90", 0.8), "paris texas": ("Q830149", 0.2)}
+
+        jl = os.path.join(tmp, "rows.jsonl")
+        with open(jl, "w") as fh:
+            fh.write('{"qid": "Q90", "n": 3}\n{"qid": "Q1", "n": 7}\n')
+        rows = {r.qid: r.n for r in read_jsonl(spark, jl, "qid string, n long").collect()}
+        assert rows == {"Q90": 3, "Q1": 7}

@@ -78,3 +78,55 @@ def test_windowed_agg_watermark_late_data(spark):
         stream_windowed_turn_counts(spark, f"{inp}/*", outp, ck)
         final = [r for r in emitted() if r.window_start.hour == 10]
         assert len(final) == 1 and final[0].n_turns == 4
+
+
+def test_stream_sessionize_gap_and_timeout(spark):
+    """Gap sessionization (streaming/sessionize.py): a turn past the
+    gap closes the previous session in the SAME batch (data path); a
+    session with no further turns closes when the watermark passes
+    last+gap (event-time timeout); closed sessions are emitted
+    exactly once across reruns."""
+    import glob
+
+    from tempel_spark.streaming.sessionize import stream_sessionize
+
+    def rows_df(*items):  # (conv_id, ts)
+        return spark.createDataFrame(
+            [(c, i, "user", "text", "", ts) for i, (c, ts) in enumerate(items)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+        ).selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                     "CAST(ts_s AS TIMESTAMP) AS ts")
+
+    with tempfile.TemporaryDirectory(prefix="sess_") as tmp:
+        inp, outp, ck = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+        run = lambda: stream_sessionize(spark, f"{inp}/*", outp, ck,
+                                        gap_minutes=30, watermark="10 minutes")
+        emitted = lambda: (
+            spark.read.parquet(outp).collect() if glob.glob(f"{outp}/*.parquet") else []
+        )
+
+        # b1: A has two close turns, B one → nothing closes yet
+        rows_df(("A", "2015-06-01 10:00:00"), ("A", "2015-06-01 10:10:00"),
+                ("B", "2015-06-01 10:05:00")).write.parquet(f"{inp}/b1")
+        run()
+        assert emitted() == []
+
+        # b2: A turn at 12:00 — 1h50 gap → A's first session closes
+        # IMMEDIATELY (data path, no watermark needed)
+        rows_df(("A", "2015-06-01 12:00:00")).write.parquet(f"{inp}/b2")
+        run()
+        got = {(r.conv_id, r.session_end.strftime("%H:%M"), r.n_turns) for r in emitted()}
+        assert ("A", "10:10", 2) in got, got
+
+        # b3 + b4: ticker turns push the watermark past B's 10:35
+        # timeout and then past A's 12:30 timeout
+        rows_df(("T", "2015-06-01 14:00:00")).write.parquet(f"{inp}/b3")
+        run()
+        rows_df(("T", "2015-06-01 16:00:00")).write.parquet(f"{inp}/b4")
+        run()
+        got = {(r.conv_id, r.session_end.strftime("%H:%M"), r.n_turns) for r in emitted()}
+        assert ("B", "10:05", 1) in got, got       # timeout close
+        assert ("A", "12:00", 1) in got, got       # second A session via timeout
+        # exactly-once: no duplicate session rows
+        rows = [(r.conv_id, str(r.session_start)) for r in emitted()]
+        assert len(rows) == len(set(rows))
