@@ -5,7 +5,7 @@ metric arithmetic, array truncation — each with a DuckDB oracle."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tempel_spark.functions.text import detect_redirect, whole_word_contains
@@ -880,4 +880,100 @@ def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.posexplode(w).alias("_p", "word"))
         .select("doc_id", (F.col("_p") + 1).cast("long").alias("widx"), "word")
         .withColumn("toks", wp("word"))
+    )
+
+
+@register(
+    "q_temporal_offset_delta",
+    """
+    WITH preds AS (
+      SELECT o_orderkey AS mention_id,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'shared' ELSE 'new_entities' END AS category,
+             2013 + o_custkey % 3 AS train_year,
+             2013 + o_orderkey % 3 AS test_year,
+             CASE WHEN (o_orderkey * 7) % 97 < 60 - 9 * abs(o_orderkey % 3 - o_custkey % 3)
+                  THEN 1 ELSE 0 END AS hit
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    cell AS (SELECT category, train_year, test_year, avg(hit) AS acc
+             FROM preds GROUP BY 1, 2, 3),
+    off AS (SELECT category, test_year - train_year AS off_years, avg(acc) AS acc_off
+            FROM cell GROUP BY 1, 2),
+    base AS (SELECT category, acc_off AS acc0 FROM off WHERE off_years = 0)
+    SELECT o.category, o.off_years,
+           round(o.acc_off, 6) AS acc_at_offset,
+           round(o.acc_off - b.acc0, 6) AS offset_delta
+    FROM off o JOIN base b USING (category)
+    """,
+)
+def q_temporal_offset_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-family: the s08 temporal-offset analysis
+    (s08_all_paper_stats.py:225-241,316-321) — per category, accuracy
+    averaged by (test_year − train_year) offset, reported as the
+    delta against the in-snapshot (offset 0) level. Fixture hit-rates
+    decay with |offset| so the deltas are non-trivial."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    preds = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("shared"))
+        .otherwise(F.lit("new_entities")).alias("category"),
+        (F.lit(2013) + F.col("o_custkey") % 3).alias("train_year"),
+        (F.lit(2013) + F.col("o_orderkey") % 3).alias("test_year"),
+        F.when(
+            (F.col("o_orderkey") * 7) % 97
+            < 60 - 9 * F.abs(F.col("o_orderkey") % 3 - F.col("o_custkey") % 3),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("hit"),
+    )
+    cell = preds.groupBy("category", "train_year", "test_year").agg(F.avg("hit").alias("acc"))
+    off = cell.groupBy(
+        "category", (F.col("test_year") - F.col("train_year")).alias("off_years")
+    ).agg(F.avg("acc").alias("acc_off"))
+    base = off.filter(F.col("off_years") == 0).select("category", F.col("acc_off").alias("acc0"))
+    return off.join(base, "category").select(
+        "category", "off_years",
+        F.round("acc_off", 6).alias("acc_at_offset"),
+        F.round(F.col("acc_off") - F.col("acc0"), 6).alias("offset_delta"),
+    )
+
+
+@register(
+    "q_length_bucket_acc",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'shared' ELSE 'new_entities' END AS entity_type,
+             n_chars,
+             ((doc_id * 31) % 97) / 96.0 AS acc
+      FROM documents),
+    b AS (SELECT *, ntile(15) OVER (ORDER BY n_chars, doc_id) AS len_bucket FROM d)
+    SELECT len_bucket,
+           round(avg(CASE WHEN entity_type = 'shared' THEN acc END), 6) AS acc_shared,
+           round(avg(CASE WHEN entity_type = 'new_entities' THEN acc END), 6) AS acc_new
+    FROM b GROUP BY 1
+    """,
+)
+def q_length_bucket_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-family: the s08 target-length quantile analysis
+    (s08_all_paper_stats.py:244-252 pd.qcut(target_length, 15) →
+    per-(type, bucket) mean acc@64 → pivot by type) — rank-based
+    15-way bucketing (ntile, deterministic tiebreak) so both engines
+    cut identical buckets.
+
+    Scale note: the global ntile window is a single-partition sort —
+    acceptable here ONLY because it runs over the evaluation RESULTS
+    table (one row per scored mention of the test subset, the same
+    analysis-scale frame the reference collects into pandas), never
+    over the corpus; at larger result sets switch to approxQuantile
+    edges + a when-chain."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("shared"))
+        .otherwise(F.lit("new_entities")).alias("entity_type"),
+        "n_chars",
+        (((F.col("doc_id") * 31) % 97) / 96.0).alias("acc"),
+    )
+    w = Window.orderBy("n_chars", "doc_id")
+    b = d.withColumn("len_bucket", F.ntile(15).over(w))
+    return b.groupBy("len_bucket").agg(
+        F.round(F.avg(F.when(F.col("entity_type") == "shared", F.col("acc"))), 6).alias("acc_shared"),
+        F.round(F.avg(F.when(F.col("entity_type") == "new_entities", F.col("acc"))), 6).alias("acc_new"),
     )
