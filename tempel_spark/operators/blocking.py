@@ -44,6 +44,7 @@ __all__ = [
     "salt_blocks",
     "cap_block_size",
     "candidate_pairs",
+    "sorted_neighborhood_pairs",
 ]
 
 
@@ -188,3 +189,62 @@ def candidate_pairs(
     pairs = a.join(b, key_cols, "inner").filter(F.col("id_a") < F.col("id_b"))
     # a pair found by several blocks (e.g. two LSH bands) appears once per group
     return pairs.dropDuplicates([*groups, "id_a", "id_b"])
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_key,
+    id_col: str,
+    window: int = 3,
+    group_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking — the classic ER candidate
+    generator the alias/LSH families don't cover: order records by a
+    lexicographic key and pair each record with its next `window−1`
+    neighbors. Catches near-misses that token-equality blocks split
+    (e.g. 'color'/'colour' sort adjacently but share no exact key).
+
+    Spark shape: ONE ranking window per group + `lead()` probes — no
+    self-join, no block-size skew (every record contributes exactly
+    window−1 candidate pairs), one shuffle on (group, sort order).
+    At 10^12 rows the global-per-group sort is the operator's
+    intrinsic cost (range partitioning); window size bounds the pair
+    count linearly, the hallmark of the method.
+
+    Output: group_cols…, id_a, id_b, key_a, key_b [, payload_a/b].
+    """
+    groups = group_cols or []
+    payload = payload_cols or []
+    key = F.col(sort_key) if isinstance(sort_key, str) else sort_key
+    base = df.select(
+        *groups, F.col(id_col).alias("id_a"), key.alias("key_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
+    )
+    w = Window.partitionBy(*groups).orderBy(F.col("key_a").asc(), F.col("id_a").asc())
+    # every lead shares ONE window spec → Catalyst evaluates them in a
+    # single Window operator, so the whole fan-out costs one sort
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lead("id_a", i).over(w).alias("id_b"),
+                F.lead("key_a", i).over(w).alias("key_b"),
+                *[F.lead(f"{c}_a", i).over(w).alias(f"{c}_b") for c in payload],
+            )
+            for i in range(1, window)
+        ]
+    )
+    # windows first, generator second — Spark rejects lead() and
+    # explode() in the same projection
+    with_nbrs = base.select(
+        *groups, "id_a", "key_a", *[f"{c}_a" for c in payload], nbrs.alias("_nbrs")
+    )
+    return (
+        with_nbrs.withColumn("_n", F.explode("_nbrs"))
+        .filter(F.col("_n.id_b").isNotNull())
+        .select(
+            *groups, "id_a", F.col("_n.id_b").alias("id_b"),
+            "key_a", F.col("_n.key_b").alias("key_b"),
+            *[x for c in payload for x in (F.col(f"{c}_a"), F.col(f"_n.{c}_b").alias(f"{c}_b"))],
+        )
+    )

@@ -977,3 +977,33 @@ def q_length_bucket_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(F.col("entity_type") == "shared", F.col("acc"))), 6).alias("acc_shared"),
         F.round(F.avg(F.when(F.col("entity_type") == "new_entities", F.col("acc"))), 6).alias("acc_new"),
     )
+
+
+@register(
+    "q_sorted_neighborhood",
+    """
+    WITH ranked AS (
+      SELECT p_brand, p_partkey AS id_a, lower(p_name) AS key_a,
+             lead(p_partkey, 1) OVER w AS id_b1, lead(lower(p_name), 1) OVER w AS key_b1,
+             lead(p_partkey, 2) OVER w AS id_b2, lead(lower(p_name), 2) OVER w AS key_b2
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY lower(p_name), p_partkey)),
+    pairs AS (
+      SELECT p_brand, id_a, id_b1 AS id_b, key_a, key_b1 AS key_b FROM ranked WHERE id_b1 IS NOT NULL
+      UNION ALL
+      SELECT p_brand, id_a, id_b2, key_a, key_b2 FROM ranked WHERE id_b2 IS NOT NULL)
+    SELECT p_brand, id_a, id_b, key_a, key_b FROM pairs
+    """,
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic ER candidate
+    generator — window=3 neighbors over the name-sorted order per
+    brand): each record pairs with its next two sort neighbors, one
+    window sort, no block-size skew. Complements the equality/LSH
+    block families with adjacency-based candidates."""
+    from tempel_spark.operators.blocking import sorted_neighborhood_pairs
+
+    p = t(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(
+        p, F.lower("p_name"), "p_partkey", window=3, group_cols=["p_brand"]
+    )

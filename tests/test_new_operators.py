@@ -403,3 +403,32 @@ def test_tsv_and_jsonl_readers(spark):
             fh.write('{"qid": "Q90", "n": 3}\n{"qid": "Q1", "n": 7}\n')
         rows = {r.qid: r.n for r in read_jsonl(spark, jl, "qid string, n long").collect()}
         assert rows == {"Q90": 3, "Q1": 7}
+
+
+def test_sorted_neighborhood_pairs(spark):
+    """Sorted-neighborhood blocking: each record pairs with its next
+    window-1 sort neighbors per group; payload columns ride along;
+    the whole fan-out costs ONE Window operator (single sort)."""
+    from tempel_spark.operators.blocking import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [("g", 1, "colour", "t1"), ("g", 2, "color", "t2"),
+         ("g", 3, "colr", "t3"), ("g", 4, "zebra", "t4"),
+         ("h", 5, "apple", "t5")],
+        "grp string, id long, name string, txt string",
+    )
+    out = sorted_neighborhood_pairs(
+        df, "name", "id", window=3, group_cols=["grp"], payload_cols=["txt"]
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # sort order in g: color(2), colour(1), colr(3)... lexicographic:
+    # color < colour < colr < zebra → neighbors at distance 1 and 2
+    assert pairs == {(2, 1), (2, 3), (1, 3), (1, 4), (3, 4)}
+    row = {(r.id_a, r.id_b): (r.txt_a, r.txt_b) for r in out.collect()}
+    assert row[(2, 1)] == ("t2", "t1")
+    # 'h' has a single record → no pairs; 'colour'/'color' paired
+    # despite sharing no equality block key (the method's point)
+    assert all(a != 5 and b != 5 for a, b in pairs)
+    # single Window operator in the plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") == 1, plan
