@@ -221,6 +221,15 @@ def sorted_neighborhood_pairs(
         *groups, F.col(id_col).alias("id_a"), key.alias("key_a"),
         *[F.col(c).alias(f"{c}_a") for c in payload],
     )
+    if window < 2:
+        # "no neighbors" is a valid sweep endpoint: empty pair set
+        # with the full output schema, not an analysis crash on an
+        # empty array<struct> literal
+        return base.filter(F.lit(False)).select(
+            *groups, "id_a", F.col("id_a").alias("id_b"),
+            "key_a", F.col("key_a").alias("key_b"),
+            *[x for c in payload for x in (F.col(f"{c}_a"), F.col(f"{c}_a").alias(f"{c}_b"))],
+        )
     w = Window.partitionBy(*groups).orderBy(F.col("key_a").asc(), F.col("id_a").asc())
     # every lead shares ONE window spec → Catalyst evaluates them in a
     # single Window operator, so the whole fan-out costs one sort

@@ -163,12 +163,21 @@ def simhash64_agg(
     so it holds at any document length. Use this for corpus
     fingerprinting; keep `simhash64` for short normalized keys
     inside larger projections."""
+    # explode_outer: char_shingles never yields an EMPTY array for
+    # non-null text (it floors the length at 1, so "" hashes through
+    # its "" shingle exactly like the expression form) — the only
+    # shingle-less rows are NULL text, which survive as one
+    # null-shingle row so the id is not dropped and hash to 0 like
+    # the expression form's empty fold. One pass, no re-scan, no join.
     ex = (
-        df.select(id_col, F.explode(F.array_distinct(char_shingles(text_col, k))).alias("_s"))
+        df.select(
+            id_col,
+            F.explode_outer(F.array_distinct(char_shingles(text_col, k))).alias("_s"),
+        )
         .select(id_col, F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("bigint").alias("_w"))
     )
     agg = ex.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
+        F.count("_w").alias("_n"),  # counts non-null shingle hashes only
         *[
             F.sum(F.shiftright(F.col("_w"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
             for j in range(60)
@@ -181,13 +190,10 @@ def simhash64_agg(
             .otherwise(F.lit(0).cast("bigint"))
         )
         h = term if h is None else h + term
-    # explode drops shingle-less rows; the expression form hashes an
-    # empty shingle set to 0, so re-attach every input id with hash 0
-    return (
-        df.select(id_col)
-        .join(agg.select(id_col, h.alias(out_col)), id_col, "left")
-        .na.fill({out_col: 0})
-    )
+    # NULL text: _n = 0 and every vote is NULL → every when() falls to
+    # otherwise(0) → hash 0, matching the expression form's fold over
+    # its empty accumulator (verified by the parity test's NULL row)
+    return agg.select(id_col, h.alias(out_col))
 
 
 def simhash_dedup(

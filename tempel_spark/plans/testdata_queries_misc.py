@@ -821,7 +821,8 @@ _WP_BARE = "CASE WHEN v.piece LIKE '##%' THEN substr(v.piece, 3) ELSE v.piece EN
                      list_filter(list_transform(list_slice(string_split(text, ' '), 1, 4),
                                  t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))),
                                  x -> x <> '') AS w
-              FROM documents WHERE doc_id % 6 = 0))),
+              FROM documents WHERE doc_id % 6 = 0))
+      WHERE length(word) <= 50),
     wset AS (SELECT DISTINCT word FROM words),
     -- every (word, pos, piece) match; best = the longest (greedy rule)
     am AS (
@@ -876,9 +877,14 @@ def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x != "",
     )
+    # both sides bound word length at 50 chars: past the tokenizer's
+    # max_chars the UDF emits [UNK] while the oracle's position range
+    # runs out — same limit, different encodings, so neither side
+    # sees such words (none exist in the fixture data anyway)
     return (
         d.select("doc_id", F.posexplode(w).alias("_p", "word"))
         .select("doc_id", (F.col("_p") + 1).cast("long").alias("widx"), "word")
+        .filter(F.length("word") <= 50)
         .withColumn("toks", wp("word"))
     )
 
@@ -1006,4 +1012,32 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     return sorted_neighborhood_pairs(
         p, F.lower("p_name"), "p_partkey", window=3, group_cols=["p_brand"]
+    )
+
+
+@register(
+    "q_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling quantiles per group — exact interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+    linear interpolation), the corpus-profiling shape a training-data
+    pipeline runs before filtering (reference analogue: the
+    distribution stats of s04_final_dataset_statistics_utils.py).
+    At 100 TB swap `F.percentile` for `percentile_approx` and accept
+    sketch error; the exact form here keeps the oracle bit-tight."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
     )

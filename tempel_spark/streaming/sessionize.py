@@ -52,11 +52,13 @@ _STATE_SCHEMA = T.StructType(
 
 
 def _session_row(conv_id: str, start_s: int, last_s: int, n: int) -> pd.DataFrame:
+    # utc=True: the epochs are true UTC seconds; a naive datetime here
+    # would be re-interpreted in the session timezone on the way out
     return pd.DataFrame(
         {
             "conv_id": [conv_id],
-            "session_start": [pd.to_datetime(start_s, unit="s")],
-            "session_end": [pd.to_datetime(last_s, unit="s")],
+            "session_start": [pd.to_datetime(start_s, unit="s", utc=True)],
+            "session_end": [pd.to_datetime(last_s, unit="s", utc=True)],
             "n_turns": [n],
         }
     )
@@ -65,9 +67,12 @@ def _session_row(conv_id: str, start_s: int, last_s: int, n: int) -> pd.DataFram
 def _make_sessionizer(gap_seconds: int):
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         conv_id = key[0]
+        # ts_epoch is computed JVM-side (timestamp→long cast = true UTC
+        # epoch seconds); Arrow's pdf["ts"] would be session-timezone-
+        # naive and skew the timeout math against the UTC watermark
         ts: list[int] = []
         for pdf in pdfs:
-            ts.extend((pdf["ts"].astype("int64") // 1_000_000_000).tolist())
+            ts.extend(int(x) for x in pdf["ts_epoch"])
 
         if state.hasTimedOut:
             # watermark passed last+gap with no new turns → close
@@ -81,13 +86,20 @@ def _make_sessionizer(gap_seconds: int):
         else:
             start_s, last_s, n = None, None, 0
         for t in sorted(ts):
-            if last_s is not None and t - last_s > gap_seconds:
-                out.append(_session_row(conv_id, start_s, last_s, n))
-                start_s, n = t, 0
             if start_s is None:
-                start_s = t
-            last_s = t
-            n += 1
+                start_s, last_s, n = t, t, 1
+            elif t - last_s > gap_seconds:
+                out.append(_session_row(conv_id, start_s, last_s, n))
+                start_s, last_s, n = t, t, 1
+            else:
+                # late (watermark-permitted) turns join the open
+                # session without rewinding its end: the watermark
+                # bounds their lateness, and moving last_s backward
+                # would split sessions spuriously and mis-time the
+                # timeout
+                start_s = min(start_s, t)
+                last_s = max(last_s, t)
+                n += 1
         state.update((int(start_s), int(last_s), int(n)))
         # timeout must sit strictly past the current watermark
         timeout_ms = max(
@@ -111,10 +123,13 @@ def stream_sessionize(
     CLOSED session to ``output_dir``; open sessions persist in the
     checkpoint and close on a later run (new turn past the gap, or
     watermark timeout)."""
+    from pyspark.sql import functions as F
+
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .parquet(input_dir)
         .withWatermark("ts", watermark)
+        .withColumn("ts_epoch", F.col("ts").cast("long"))
     )
     sessions = stream.groupBy("conv_id").applyInPandasWithState(
         _make_sessionizer(gap_minutes * 60),

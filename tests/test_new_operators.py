@@ -370,13 +370,14 @@ def test_simhash_agg_parity_and_edge_rows(spark):
     from tempel_spark.operators.dedup import simhash64, simhash64_agg
 
     rows = [(i, f"document number {i} with some shared text body") for i in range(50)]
-    rows += [(100, ""), (101, "ab")]  # shorter than the 3-gram window
+    rows += [(100, ""), (101, "ab"), (102, None)]  # short + NULL text
     df = spark.createDataFrame(rows, "id long, text string")
     a = {r.id: r.simhash for r in simhash64_agg(df, "id", "text").collect()}
     b = {r.id: r.h for r in df.select("id", simhash64("text").alias("h")).collect()}
     assert len(a) == len(rows)
     for i, h in b.items():
         assert a[i] == h, (i, a[i], h)
+    assert a[102] == 0  # NULL text → hash 0, like the expression form's empty fold
 
 
 def test_tsv_and_jsonl_readers(spark):
