@@ -490,7 +490,7 @@ def q_clean_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _insert_lines(df, key_col, tup, table, n_groups):
-    """Deterministic multi-tuple dump lines: per-row tuple strings
+    r"""Deterministic multi-tuple dump lines: per-row tuple strings
     grouped into `INSERT INTO \`table\` VALUES (...),(...);` lines
     (key % n_groups per line, key-ordered within the line)."""
     return (

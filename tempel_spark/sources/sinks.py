@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned", "write_fanout", "write_embeddings"]
+__all__ = ["write_partitioned", "write_fanout", "write_embeddings", "write_bucketed"]
 
 
 def write_partitioned(
@@ -55,3 +55,31 @@ def write_embeddings(df: DataFrame, path: str) -> None:
     if part:
         w = w.partitionBy(*part)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    fmt: str = "parquet",
+    path: str | None = None,
+) -> None:
+    """Bucketed managed table — the co-located-join layout for the
+    big⋈big joins that dominate at 100 TB (mention⋈entity on
+    (snapshot_ts, target_id), edge lists on id): two tables bucketed
+    the same way join with ZERO Exchange on either side, because the
+    bucket layout IS the hash partitioning the join needs
+    (plan-asserted in tests/test_plans.py). Iceberg's analogue is a
+    `bucket(n, col)` partition transform; the reference has no
+    equivalent — it re-shards by hand per cut. sortBy within buckets
+    additionally removes the join's Sort when it matches the keys."""
+    w = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        # external table at an explicit location (warehouse.dir is a
+        # static config — tests and ad-hoc runs pass a tmp path)
+        w = w.option("path", path)
+    w.saveAsTable(table)

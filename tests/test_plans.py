@@ -93,3 +93,35 @@ def test_extraction_anchor_prefilter(spark):
     # expression, so match the Contains predicate itself.
     below_arrow = plan.split("MapInPandas", 1)[-1]
     assert "Contains(" in below_arrow, plan[:1500]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """write_bucketed: two tables bucketed identically on the join key
+    join with ZERO Exchange on either side — the co-located layout for
+    the big-by-big joins (mention x entity) that dominate at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from tempel_spark.sources.sinks import write_bucketed
+
+    mentions = spark.range(0, 2000).select(
+        (F.col("id") % 100).alias("entity_id"), F.col("id").alias("mention_id")
+    )
+    entities = spark.range(0, 100).select(
+        F.col("id").alias("entity_id"), F.concat(F.lit("e"), F.col("id")).alias("name")
+    )
+    write_bucketed(mentions, "b_mentions", ("entity_id",), n_buckets=8,
+                   path=str(tmp_path / "b_mentions"))
+    write_bucketed(entities, "b_entities", ("entity_id",), n_buckets=8,
+                   path=str(tmp_path / "b_entities"))
+    try:
+        # disable broadcast so the join strategy is the bucket-aware
+        # sort-merge, which must read both sides pre-partitioned
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_mentions").join(spark.table("b_entities"), "entity_id")
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in phys, phys
+        assert j.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_mentions")
+        spark.sql("DROP TABLE IF EXISTS b_entities")
