@@ -27,6 +27,25 @@ from pyspark.sql import functions as F
 __all__ = ["Catalog"]
 
 
+def _split_ddl_fields(ddl: str) -> list[str]:
+    """Split `a:int,b:array<struct<x:int,y:int>>` on TOP-LEVEL commas
+    only (nested array/struct/map types contain commas of their own)."""
+    out, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         impl = spark.conf.get("spark.sql.catalog.spark_catalog", "")
@@ -87,7 +106,68 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.table(f"ckpt_{name}")
+        meta = self.get_meta(name)
+        if meta and meta.get("bucket_by"):
+            return self._read_bucketed(name, meta)
         return self.spark.read.parquet(self.path(name))
+
+    # -- bucketed stage tables ---------------------------------------------
+    def write_bucketed_stage(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_by: tuple[str, ...],
+        n_buckets: int = 32,
+        sort_by: tuple[str, ...] | None = None,
+    ) -> DataFrame:
+        """Checkpoint a stage in bucket layout: downstream joins/aggs
+        keyed on `bucket_by` read it pre-hash-partitioned, so a resumed
+        run's big⋈big join (e.g. mention⋈entity on the component key)
+        runs with ZERO Exchange on this side — plan-asserted in
+        tests/test_cc_resume.py. With an Iceberg catalog the same
+        intent is a `bucket(n, col)` partition transform. Bucket
+        metadata lives in the session catalog, not the parquet files,
+        so the bucket spec is persisted as sidecar meta and the table
+        is re-registered on read in a fresh session."""
+        t0 = time.time()
+        from tempel_spark.sources.sinks import write_bucketed
+
+        final = self.path(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        write_bucketed(df, f"ckpt_{name}", bucket_by, n_buckets=n_buckets,
+                       sort_cols=sort_by, path=final)
+        with open(f"{final}/_SUCCESS_TEMPEL", "w") as fh:
+            fh.write("ok")
+        self.put_meta(name, {
+            "bucket_by": list(bucket_by), "n_buckets": n_buckets,
+            "sort_by": list(sort_by or ()),
+            "schema_ddl": df.schema.simpleString()[7:-1],  # strip struct<...>
+        })
+        self._journal(name, df_schema=[f.simpleString() for f in df.schema.fields],
+                      seconds=round(time.time() - t0, 3),
+                      bucket_by=list(bucket_by), n_buckets=n_buckets)
+        return self.spark.table(f"ckpt_{name}")
+
+    def _read_bucketed(self, name: str, meta: dict) -> DataFrame:
+        """spark.table() so the bucket layout reaches the planner; if
+        this session has not seen the table yet (resume after restart),
+        re-register it from the sidecar bucket spec."""
+        tbl = f"ckpt_{name}"
+        if not self.spark.catalog.tableExists(tbl):
+            cols = ", ".join(f"`{c}`" for c in meta["bucket_by"])
+            sort = (f" SORTED BY ({', '.join(f'`{c}`' for c in meta['sort_by'])})"
+                    if meta.get("sort_by") else "")
+            ddl = ", ".join(
+                f"`{p.split(':', 1)[0]}` {p.split(':', 1)[1]}"
+                for p in _split_ddl_fields(meta["schema_ddl"])
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({cols}){sort} INTO {meta['n_buckets']} BUCKETS "
+                f"LOCATION '{self.path(name)}'"
+            )
+        return self.spark.table(tbl)
 
     def delete(self, name: str) -> None:
         """Drop a published stage table (used to invalidate stale
@@ -95,6 +175,10 @@ class Catalog:
         if self.use_iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS ckpt_{name}")
         else:
+            meta = self.get_meta(name)
+            if meta and meta.get("bucket_by"):
+                # external table: DROP removes only the registration
+                self.spark.sql(f"DROP TABLE IF EXISTS ckpt_{name}")
             final = self.path(name)
             if os.path.exists(final):
                 shutil.rmtree(final)

@@ -93,3 +93,38 @@ def test_cc_edges_fingerprint_gates_warm_start(spark):
         cat.delete("cc_edges")
         assert not cat.exists("cc_edges")
         assert cat.get_meta("cc_edges") is None
+
+
+def test_bucketed_stage_resume_no_shuffle(spark, tmp_path):
+    """write_bucketed_stage survives a session restart (simulated by
+    dropping the table registration — the external data stays) and a
+    resumed read still joins Exchange-free on the bucket key."""
+    import pyspark.sql.functions as F
+
+    from tempel_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "ckpt"))
+    mentions = spark.range(0, 3000).select(
+        F.concat(F.lit("c"), F.col("id") % 200).alias("component"),
+        F.col("id").alias("mention_id"),
+    )
+    entities = spark.range(0, 200).select(
+        F.concat(F.lit("c"), F.col("id")).alias("component"),
+        F.concat(F.lit("e"), F.col("id")).alias("entity"),
+    )
+    cat.write_bucketed_stage(mentions, "b_m", ("component",), n_buckets=8)
+    cat.write_bucketed_stage(entities, "b_e", ("component",), n_buckets=8)
+    # simulate a fresh session: registrations gone, data + meta remain
+    spark.sql("DROP TABLE ckpt_b_m")
+    spark.sql("DROP TABLE ckpt_b_e")
+    assert cat.exists("b_m") and cat.exists("b_e")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = cat.read("b_m").join(cat.read("b_e"), "component")
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in phys, phys
+        assert j.count() == 3000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        cat.delete("b_m")
+        cat.delete("b_e")
