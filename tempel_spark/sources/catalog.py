@@ -29,12 +29,13 @@ __all__ = ["Catalog"]
 
 def _split_ddl_fields(ddl: str) -> list[str]:
     """Split `a:int,b:array<struct<x:int,y:int>>` on TOP-LEVEL commas
-    only (nested array/struct/map types contain commas of their own)."""
+    only (nested array/struct/map types contain commas of their own,
+    as does decimal(p,s))."""
     out, depth, cur = [], 0, []
     for ch in ddl:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             out.append("".join(cur))
@@ -98,6 +99,10 @@ class Catalog:
             os.rename(tmp, final)
             with open(f"{final}/_SUCCESS_TEMPEL", "w") as fh:
                 fh.write("ok")
+            # a plain write over a previously bucketed stage must drop
+            # the stale layout, or read() would apply a bucket spec to
+            # non-bucketed files
+            self._clear_bucket_layout(name)
             out = self.spark.read.parquet(final)
         self._journal(name, df_schema=[f.simpleString() for f in df.schema.fields],
                       seconds=round(time.time() - t0, 3), partition_by=list(partition_by))
@@ -106,12 +111,44 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.table(f"ckpt_{name}")
-        meta = self.get_meta(name)
-        if meta and meta.get("bucket_by"):
-            return self._read_bucketed(name, meta)
+        spec = self._get_bucket_spec(name)
+        if spec:
+            return self._read_bucketed(name, spec)
         return self.spark.read.parquet(self.path(name))
 
     # -- bucketed stage tables ---------------------------------------------
+    # The bucket spec lives in its OWN sidecar (_bucket_<name>.json), not
+    # the put_meta/get_meta one: pipeline code owns that dict for stage
+    # fingerprints and compares it by full equality (pipeline.py cc_edges
+    # warm-start gate), so the two must never clobber each other.
+
+    def _tbl(self, name: str) -> str:
+        """Session-global registration name scoped by the catalog base
+        path — two Catalogs over different directories in one session
+        must never resolve to each other's tables."""
+        import hashlib
+
+        return f"ckpt_{name}__{hashlib.md5(self.base.encode()).hexdigest()[:8]}"
+
+    def _bucket_spec_path(self, name: str) -> str:
+        return f"{self.base}/_bucket_{name}.json"
+
+    def _get_bucket_spec(self, name: str) -> dict | None:
+        p = self._bucket_spec_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _clear_bucket_layout(self, name: str) -> None:
+        """Forget a stage's bucket layout: registration + sidecar. Used
+        when a plain write() replaces a bucketed checkpoint, so read()
+        never applies a stale bucket spec to non-bucketed files."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
+        p = self._bucket_spec_path(name)
+        if os.path.exists(p):
+            os.remove(p)
+
     def write_bucketed_stage(
         self,
         df: DataFrame,
@@ -127,44 +164,57 @@ class Catalog:
         tests/test_cc_resume.py. With an Iceberg catalog the same
         intent is a `bucket(n, col)` partition transform. Bucket
         metadata lives in the session catalog, not the parquet files,
-        so the bucket spec is persisted as sidecar meta and the table
-        is re-registered on read in a fresh session."""
+        so the bucket spec is persisted as a sidecar and the table is
+        re-registered on read in a fresh session. Publish is atomic
+        (tmp dir + rename, like write()), so a failed re-checkpoint
+        keeps the previous good state and `df` may derive from the
+        stage being replaced."""
         t0 = time.time()
         from tempel_spark.sources.sinks import write_bucketed
 
         final = self.path(name)
+        tmp = f"{final}.__tmp_{uuid.uuid4().hex[:8]}"
+        tmp_tbl = f"{self._tbl(name)}__tmp"
+        write_bucketed(df, tmp_tbl, bucket_by, n_buckets=n_buckets,
+                       sort_cols=sort_by, path=tmp)
+        # external table: dropping the registration keeps the files
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        self._clear_bucket_layout(name)
         if os.path.exists(final):
             shutil.rmtree(final)
-        write_bucketed(df, f"ckpt_{name}", bucket_by, n_buckets=n_buckets,
-                       sort_cols=sort_by, path=final)
+        os.rename(tmp, final)
         with open(f"{final}/_SUCCESS_TEMPEL", "w") as fh:
             fh.write("ok")
-        self.put_meta(name, {
+        spec = {
             "bucket_by": list(bucket_by), "n_buckets": n_buckets,
             "sort_by": list(sort_by or ()),
             "schema_ddl": df.schema.simpleString()[7:-1],  # strip struct<...>
-        })
+        }
+        with open(self._bucket_spec_path(name), "w") as fh:
+            json.dump(spec, fh)
         self._journal(name, df_schema=[f.simpleString() for f in df.schema.fields],
                       seconds=round(time.time() - t0, 3),
                       bucket_by=list(bucket_by), n_buckets=n_buckets)
-        return self.spark.table(f"ckpt_{name}")
+        return self._read_bucketed(name, spec)
 
-    def _read_bucketed(self, name: str, meta: dict) -> DataFrame:
+    def _read_bucketed(self, name: str, spec: dict) -> DataFrame:
         """spark.table() so the bucket layout reaches the planner; if
         this session has not seen the table yet (resume after restart),
-        re-register it from the sidecar bucket spec."""
-        tbl = f"ckpt_{name}"
+        re-register it from the sidecar bucket spec. The registration
+        name is base-path-scoped (_tbl), so an existing registration
+        always points at this catalog's files."""
+        tbl = self._tbl(name)
         if not self.spark.catalog.tableExists(tbl):
-            cols = ", ".join(f"`{c}`" for c in meta["bucket_by"])
-            sort = (f" SORTED BY ({', '.join(f'`{c}`' for c in meta['sort_by'])})"
-                    if meta.get("sort_by") else "")
+            cols = ", ".join(f"`{c}`" for c in spec["bucket_by"])
+            sort = (f" SORTED BY ({', '.join(f'`{c}`' for c in spec['sort_by'])})"
+                    if spec.get("sort_by") else "")
             ddl = ", ".join(
                 f"`{p.split(':', 1)[0]}` {p.split(':', 1)[1]}"
-                for p in _split_ddl_fields(meta["schema_ddl"])
+                for p in _split_ddl_fields(spec["schema_ddl"])
             )
             self.spark.sql(
                 f"CREATE TABLE {tbl} ({ddl}) USING parquet "
-                f"CLUSTERED BY ({cols}){sort} INTO {meta['n_buckets']} BUCKETS "
+                f"CLUSTERED BY ({cols}){sort} INTO {spec['n_buckets']} BUCKETS "
                 f"LOCATION '{self.path(name)}'"
             )
         return self.spark.table(tbl)
@@ -175,10 +225,9 @@ class Catalog:
         if self.use_iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS ckpt_{name}")
         else:
-            meta = self.get_meta(name)
-            if meta and meta.get("bucket_by"):
-                # external table: DROP removes only the registration
-                self.spark.sql(f"DROP TABLE IF EXISTS ckpt_{name}")
+            # unconditional: a ghost registration may outlive its
+            # sidecar (crash between publish steps)
+            self._clear_bucket_layout(name)
             final = self.path(name)
             if os.path.exists(final):
                 shutil.rmtree(final)

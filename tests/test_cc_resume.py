@@ -114,10 +114,11 @@ def test_bucketed_stage_resume_no_shuffle(spark, tmp_path):
     )
     cat.write_bucketed_stage(mentions, "b_m", ("component",), n_buckets=8)
     cat.write_bucketed_stage(entities, "b_e", ("component",), n_buckets=8)
-    # simulate a fresh session: registrations gone, data + meta remain
-    spark.sql("DROP TABLE ckpt_b_m")
-    spark.sql("DROP TABLE ckpt_b_e")
+    # simulate a fresh session: registrations gone, data + sidecar remain
+    spark.sql(f"DROP TABLE {cat._tbl('b_m')}")
+    spark.sql(f"DROP TABLE {cat._tbl('b_e')}")
     assert cat.exists("b_m") and cat.exists("b_e")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         j = cat.read("b_m").join(cat.read("b_e"), "component")
@@ -125,6 +126,13 @@ def test_bucketed_stage_resume_no_shuffle(spark, tmp_path):
         assert "Exchange" not in phys, phys
         assert j.count() == 3000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        cat.delete("b_m")
-        cat.delete("b_e")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # a plain write() over the bucketed stage must forget the bucket
+    # layout — read() then goes through plain parquet, not a stale
+    # bucket spec over non-bucketed files
+    cat.write(entities, "b_e")
+    assert cat._get_bucket_spec("b_e") is None
+    assert not spark.catalog.tableExists(cat._tbl("b_e"))
+    assert cat.read("b_e").count() == 200
+    cat.delete("b_m")
+    cat.delete("b_e")

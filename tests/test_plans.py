@@ -113,6 +113,7 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
                    path=str(tmp_path / "b_mentions"))
     write_bucketed(entities, "b_entities", ("entity_id",), n_buckets=8,
                    path=str(tmp_path / "b_entities"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # disable broadcast so the join strategy is the bucket-aware
         # sort-merge, which must read both sides pre-partitioned
@@ -122,6 +123,6 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         assert "Exchange" not in phys, phys
         assert j.count() == 2000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_mentions")
         spark.sql("DROP TABLE IF EXISTS b_entities")
