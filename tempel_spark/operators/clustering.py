@@ -200,11 +200,11 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
     #
     # * n ≤ single_task_edges: the WHOLE graph fits one union-find
     #   task (≤ ~200 MB of dict at the 1M default) → parts=1 solves
-    #   CC outright in one pass and the star loop is a single
-    #   verification round instead of ⌈log(diameter)⌉ scheduling-bound
-    #   rounds (measured: 7 rounds / 6 s for a 14.6k-edge pipeline
-    #   graph). This is the GraphX/GraphFrames shrink-to-fewer-tasks
-    #   endgame; big graphs never take this branch.
+    #   CC outright in one pass and the loop is skipped entirely
+    #   (down from ⌈log(diameter)⌉ scheduling-bound rounds — 7 rounds
+    #   / 6 s measured on a 14.6k-edge pipeline graph). This is the
+    #   GraphX/GraphFrames shrink-to-fewer-tasks endgame; big graphs
+    #   never take this branch.
     # * larger graphs: distributed pre-contraction with the partition
     #   count scaled to the edge count (~2M edges per task ⇒ bounded
     #   per-task dicts, never the session width alone — one task must
@@ -213,12 +213,28 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
     #   one Arrow pass.
     if local_contract and resume_state is None and prev_sig[0] > 0:
         if prev_sig[0] <= single_task_edges:
-            parts = 1
-        else:
-            parts = max(
-                int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-                prev_sig[0] // 2_000_000 + 1,
-            )
+            # The whole edge list went through ONE union-find task, so
+            # the contraction output is not an accelerant but the exact
+            # answer: a star forest node→component-min over the full
+            # graph. A star forest is the fixed point of
+            # large-star/small-star (each node's neighborhood minimum
+            # already IS its component minimum), so the verification
+            # round the loop would run provably compares two identical
+            # signatures — skip it and its two jobs. The distributed
+            # branch below (big graphs) keeps the full convergence
+            # loop; q_er_components' recursive-CTE oracle and the
+            # CC-vs-union-find hypothesis test pin this path's output.
+            e = _local_contract(e, 1).localCheckpoint(eager=True)
+            if durable_checkpoint is not None:
+                # persist the final star state so a mid-run resume
+                # warm-starts from the fixed point
+                e = durable_checkpoint(e, 1)
+            return _star_labels(e, edges, id_a, nodes, iterations=0,
+                                converged=True, history=[])
+        parts = max(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            prev_sig[0] // 2_000_000 + 1,
+        )
         e = _local_contract(e, parts).localCheckpoint(eager=True)
         prev_sig = _signature(e)
     history: list[dict] = []
@@ -239,6 +255,11 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
             break
         prev_sig = sig
 
+    return _star_labels(e, edges, id_a, nodes, iterations=it,
+                        converged=converged, history=history)
+
+
+def _star_labels(e, edges, id_a, nodes, iterations, converged, history) -> CCResult:
     # star forest → labels; representatives + singletons point at themselves
     labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
     reps = e.select(F.col("b").alias("node")).distinct().withColumn("component", F.col("node"))
@@ -249,4 +270,4 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
             allnodes.join(comp, "node", "left")
             .select("node", F.coalesce("component", F.col("node")).alias("component"))
         )
-    return CCResult(components=comp, iterations=it, converged=converged, history=history)
+    return CCResult(components=comp, iterations=iterations, converged=converged, history=history)

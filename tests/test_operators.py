@@ -60,9 +60,10 @@ def test_cc_local_contract_parity_and_fewer_rounds(spark):
     assert base.converged and fast.converged and dist.converged
     assert got == exp
     assert got_dist == exp
-    # single-task contraction solves the graph outright: the star loop
-    # is one verification round
-    assert fast.iterations == 1
+    # single-task contraction solves the graph outright: the output is
+    # a star forest (the large/small-star fixed point), so no
+    # verification round runs at all
+    assert fast.iterations == 0
     assert dist.iterations <= base.iterations
 
 
