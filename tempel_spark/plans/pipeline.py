@@ -45,7 +45,6 @@ from tempel_spark.operators.asof import assign_snapshot, yearly_snapshots
 from tempel_spark.operators.blocking import (
     candidate_pairs,
     cap_block_size,
-    first_token_key,
     lsh_band_blocks,
     norm_key,
 )
@@ -54,7 +53,12 @@ from tempel_spark.operators.metrics import pairwise_f1
 from tempel_spark.operators.scoring import abbreviation_edges, score_pairs
 from tempel_spark.sources.catalog import Catalog
 
-__all__ = ["run_pipeline", "extract_mention_table"]
+__all__ = [
+    "run_pipeline",
+    "extract_mention_table",
+    "build_block_keys",
+    "bipartite_first_token_pairs",
+]
 
 # node-id separator for snapshot-scoped CC nodes; \x1f (ASCII unit
 # separator) cannot appear in extracted surfaces
@@ -73,6 +77,96 @@ def extract_mention_table(transcripts: DataFrame, snapshots: list[str] | None = 
         "mention_id",
         F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"), F.col("span_start").cast("string")),
     ).withColumn("surface", F.col("mention_text"))
+
+
+def build_block_keys(norms: DataFrame, lsh_hashes: int = 12, lsh_bands: int = 6) -> DataFrame:
+    """(snapshot_ts, norm, n_mentions) → the three equi-join blocking
+    key families, one row per (norm, key). Keys derive from the norm
+    TEXT alone (stationary), so incremental ingestion can key a new
+    norm once and equi-join it against any existing vocabulary —
+    streaming/incremental_er.py relies on this.
+    """
+    # order-insensitive token signature: catches token swaps
+    # ("Ember Granite" ↔ "Granite Ember") norm equality misses
+    sorted_key = F.array_join(F.array_sort(F.array_distinct(F.split(F.col("norm"), " "))), " ")
+    stoken = norms.select(
+        "snapshot_ts", "norm", "n_mentions",
+        F.concat(F.lit("S:"), sorted_key).alias("block_key"),
+    )
+    # first-2-tokens prefix key: drop-last-token shortenings
+    # ("Alpha Prairie" ↔ "Alpha Prairie Xenon") must pair
+    # DETERMINISTICALLY — leaving them to LSH luck split entities
+    # whenever every band missed (round-2 audit). Multi-token only;
+    # single-token abbreviations go through the bipartite
+    # first-token pairing (bipartite_first_token_pairs).
+    ntok_all = F.size(F.split(F.col("norm"), " "))
+    pfx = norms.filter(ntok_all >= 2).select(
+        "snapshot_ts", "norm", "n_mentions",
+        F.concat(
+            F.lit("P:"), F.array_join(F.slice(F.split(F.col("norm"), " "), 1, 2), " ")
+        ).alias("block_key"),
+    )
+    lsh = lsh_band_blocks(norms, "norm", n_hashes=lsh_hashes, bands=lsh_bands, normalize=False).select(
+        "snapshot_ts", "norm", "n_mentions",
+        F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
+    )
+    return stoken.unionByName(pfx).unionByName(lsh)
+
+
+def bipartite_first_token_pairs(
+    abbr_src: DataFrame, full_src: DataFrame, pair_cap: int = 200
+) -> DataFrame:
+    """First-token key links abbreviated norms ("falcon" ↔
+    "falcon krypton prairie"). This is the Zipf-hot key, so it is
+    BIPARTITE by construction: single-token abbreviations (from
+    `abbr_src`) on one side × multi-token full forms (from
+    `full_src`) on the other. Multi×multi near-dups are already
+    covered by the S:/P:/LSH keys, and skipping them turns the hot
+    block's O(n²) pair blowup into O(#abbr × #full) — the skew
+    guardrail that replaces the reference's max_mentions_per_entity
+    cap (s03:491-501). Both inputs are (snapshot_ts, norm,
+    n_mentions); the batch pipeline passes the same vocabulary for
+    both, the incremental path passes (new, all) and (all, new).
+
+    BOTH sides of the hot key are capped — without this the
+    bipartite product still grows quadratically on a Zipf-hot
+    first token (measured: 69× pairs for a 32× corpus, and the
+    hot blocks land on single tasks, skewing the wide-cluster
+    legs). The full-form side keeps the HIGHEST-FREQUENCY
+    completions (exactly the reference's alias-table top-
+    candidate cap, s02:434-440 + s03:491-501); the abbreviation
+    side is hash-capped (a guardrail only — distinct single-token
+    norms per first token are naturally few).
+    """
+    ntok = F.size(F.split(F.col("norm"), " "))
+    fkey = F.split(F.col("norm"), " ").getItem(0)
+    abbr = abbr_src.filter(ntok == 1).select(
+        "snapshot_ts", fkey.alias("fkey"),
+        F.col("norm").alias("n1"), F.col("n_mentions").alias("c1"),
+    )
+    full = full_src.filter(ntok >= 2).select(
+        "snapshot_ts", fkey.alias("fkey"),
+        F.col("norm").alias("n2"), F.col("n_mentions").alias("c2"),
+    )
+    abbr = cap_block_size(abbr, ["snapshot_ts", "fkey"], "n1", cap=pair_cap)
+    from pyspark.sql import Window as _W
+
+    w_full = _W.partitionBy("snapshot_ts", "fkey").orderBy(F.col("c2").desc(), "n2")
+    full = (
+        full.withColumn("_rn", F.row_number().over(w_full))
+        .filter(F.col("_rn") <= pair_cap)
+        .drop("_rn")
+    )
+    lt = F.col("n1") < F.col("n2")
+    return abbr.join(full, ["snapshot_ts", "fkey"]).select(
+        "snapshot_ts",
+        F.when(lt, F.col("n1")).otherwise(F.col("n2")).alias("id_a"),
+        F.when(lt, F.col("n2")).otherwise(F.col("n1")).alias("id_b"),
+        F.when(lt, F.col("n1")).otherwise(F.col("n2")).alias("norm_a"),
+        F.when(lt, F.col("n2")).otherwise(F.col("n1")).alias("norm_b"),
+        F.when(lt, F.col("c1")).otherwise(F.col("c2")).alias("n_mentions_a"),
+        F.when(lt, F.col("c2")).otherwise(F.col("c1")).alias("n_mentions_b"),
+    )
 
 
 def run_pipeline(
@@ -178,34 +272,7 @@ def run_pipeline(
         cache=True,
     )
 
-    def _blocks() -> DataFrame:
-        # order-insensitive token signature: catches token swaps
-        # ("Ember Granite" ↔ "Granite Ember") norm equality misses
-        sorted_key = F.array_join(F.array_sort(F.array_distinct(F.split(F.col("norm"), " "))), " ")
-        stoken = norms.select(
-            "snapshot_ts", "norm", "n_mentions",
-            F.concat(F.lit("S:"), sorted_key).alias("block_key"),
-        )
-        # first-2-tokens prefix key: drop-last-token shortenings
-        # ("Alpha Prairie" ↔ "Alpha Prairie Xenon") must pair
-        # DETERMINISTICALLY — leaving them to LSH luck split entities
-        # whenever every band missed (round-2 audit). Multi-token only;
-        # single-token abbreviations go through the bipartite
-        # first-token block below.
-        ntok_all = F.size(F.split(F.col("norm"), " "))
-        pfx = norms.filter(ntok_all >= 2).select(
-            "snapshot_ts", "norm", "n_mentions",
-            F.concat(
-                F.lit("P:"), F.array_join(F.slice(F.split(F.col("norm"), " "), 1, 2), " ")
-            ).alias("block_key"),
-        )
-        lsh = lsh_band_blocks(norms, "norm", n_hashes=lsh_hashes, bands=lsh_bands, normalize=False).select(
-            "snapshot_ts", "norm", "n_mentions",
-            F.concat(F.lit("L"), F.col("band_id"), F.lit(":"), F.col("block_key")).alias("block_key"),
-        )
-        return stoken.unionByName(pfx).unionByName(lsh)
-
-    blocks = ck("blocks", _blocks, cache=True)
+    blocks = ck("blocks", lambda: build_block_keys(norms, lsh_hashes, lsh_bands), cache=True)
 
     def _pairs() -> DataFrame:
         sym = candidate_pairs(
@@ -215,53 +282,7 @@ def run_pipeline(
             F.col("id_a").alias("norm_a"), F.col("id_b").alias("norm_b"),
             "n_mentions_a", "n_mentions_b",
         )
-
-        # first-token key links abbreviated norms ("falcon" ↔
-        # "falcon krypton prairie"). This is the Zipf-hot key, so it is
-        # BIPARTITE by construction: single-token abbreviations on one
-        # side × multi-token full forms on the other. Multi×multi
-        # near-dups are already covered by the S:/P:/LSH keys, and
-        # skipping them turns the hot block's O(n²) pair blowup into
-        # O(#abbr × #full) — the skew guardrail that replaces the
-        # reference's max_mentions_per_entity cap (s03:491-501).
-        ntok = F.size(F.split(F.col("norm"), " "))
-        fkey = F.split(F.col("norm"), " ").getItem(0)
-        abbr = norms.filter(ntok == 1).select(
-            "snapshot_ts", fkey.alias("fkey"),
-            F.col("norm").alias("n1"), F.col("n_mentions").alias("c1"),
-        )
-        full = norms.filter(ntok >= 2).select(
-            "snapshot_ts", fkey.alias("fkey"),
-            F.col("norm").alias("n2"), F.col("n_mentions").alias("c2"),
-        )
-        # BOTH sides of the hot key are capped — without this the
-        # bipartite product still grows quadratically on a Zipf-hot
-        # first token (measured: 69× pairs for a 32× corpus, and the
-        # hot blocks land on single tasks, skewing the wide-cluster
-        # legs). The full-form side keeps the HIGHEST-FREQUENCY
-        # completions (exactly the reference's alias-table top-
-        # candidate cap, s02:434-440 + s03:491-501); the abbreviation
-        # side is hash-capped (a guardrail only — distinct single-token
-        # norms per first token are naturally few).
-        abbr = cap_block_size(abbr, ["snapshot_ts", "fkey"], "n1", cap=pair_cap)
-        from pyspark.sql import Window as _W
-
-        w_full = _W.partitionBy("snapshot_ts", "fkey").orderBy(F.col("c2").desc(), "n2")
-        full = (
-            full.withColumn("_rn", F.row_number().over(w_full))
-            .filter(F.col("_rn") <= pair_cap)
-            .drop("_rn")
-        )
-        lt = F.col("n1") < F.col("n2")
-        bip = abbr.join(full, ["snapshot_ts", "fkey"]).select(
-            "snapshot_ts",
-            F.when(lt, F.col("n1")).otherwise(F.col("n2")).alias("id_a"),
-            F.when(lt, F.col("n2")).otherwise(F.col("n1")).alias("id_b"),
-            F.when(lt, F.col("n1")).otherwise(F.col("n2")).alias("norm_a"),
-            F.when(lt, F.col("n2")).otherwise(F.col("n1")).alias("norm_b"),
-            F.when(lt, F.col("c1")).otherwise(F.col("c2")).alias("n_mentions_a"),
-            F.when(lt, F.col("c2")).otherwise(F.col("c1")).alias("n_mentions_b"),
-        )
+        bip = bipartite_first_token_pairs(norms, norms, pair_cap=pair_cap)
         return sym.unionByName(bip).dropDuplicates(["snapshot_ts", "id_a", "id_b"])
 
     pairs = ck("pairs", _pairs, cache=True)

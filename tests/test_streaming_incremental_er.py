@@ -1,0 +1,112 @@
+"""Incremental streaming ER: the accumulated scored-pair log after two
+landing waves must equal the batch pipeline's scored pairs on the full
+corpus (uncapped blocks), and the periodic recluster must induce the
+identical norm partition."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+_SNAPS = [f"{y}-01-01 00:00:00" for y in (2013, 2014, 2015)]
+_CAP = 100_000  # caps must not bind for exact batch equality
+
+
+def _canon_pairs(df):
+    return sorted(
+        map(
+            tuple,
+            df.select(
+                F.col("snapshot_ts").cast("string"),
+                "id_a",
+                "id_b",
+                F.round("score", 6).alias("s"),
+                "is_match",
+            ).collect(),
+        )
+    )
+
+
+def test_incremental_er_matches_batch(spark, tmp_path):
+    from tempel_spark.plans.pipeline import run_pipeline
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.streaming.incremental_er import (
+        read_scored_pairs,
+        recluster,
+        stream_incremental_er,
+    )
+    from tempel_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=50, n_entities=14, n_snapshots=2)
+    landing = str(tmp_path / "landing")
+    cat = Catalog(spark, str(tmp_path / "er_state"))
+
+    # wave 1 lands, ingest runs to completion and stops (availableNow)
+    t.filter(F.crc32("conv_id") % 2 == 0).write.mode("append").parquet(landing)
+    stream_incremental_er(
+        spark, landing, cat, snapshots=_SNAPS, pair_cap=_CAP
+    ).awaitTermination()
+    n_pairs_wave1 = read_scored_pairs(spark, cat).count()
+
+    # wave 2 lands later; the SAME stream checkpoint resumes and
+    # processes only the new files
+    t.filter(F.crc32("conv_id") % 2 == 1).write.mode("append").parquet(landing)
+    stream_incremental_er(
+        spark, landing, cat, snapshots=_SNAPS, pair_cap=_CAP
+    ).awaitTermination()
+
+    inc = read_scored_pairs(spark, cat)
+    assert inc.count() > n_pairs_wave1 > 0
+
+    batch = run_pipeline(spark, t, snapshots=_SNAPS, pair_cap=_CAP)
+    assert _canon_pairs(inc) == _canon_pairs(batch["scored"])
+
+    # vocabulary state equals the batch norm vocabulary (counts included)
+    vocab = sorted(map(tuple, cat.read("stream_norms").select(
+        F.col("snapshot_ts").cast("string"), "norm", "n_mentions").collect()))
+    bnorms = sorted(map(tuple, batch["norms"].select(
+        F.col("snapshot_ts").cast("string"), "norm", "n_mentions").collect()))
+    assert vocab == bnorms
+
+    # recluster induces the identical norm partition per snapshot
+    def partition(df, norm_col, comp_col):
+        rows = df.select(
+            F.col("snapshot_ts").cast("string").alias("snap"), norm_col, comp_col
+        ).collect()
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault((r["snap"], r[comp_col]), set()).add(r[norm_col])
+        # set-of-frozensets: frozensets have no total order (< is
+        # subset), so sorted() would compare arbitrarily
+        return {frozenset((s, n) for n in v) for (s, _), v in groups.items()}
+
+    inc_comp = recluster(spark, cat)
+    # batch: norm → component via the surface-level assignment
+    bat_norm_comp = (
+        batch["surface_components"]
+        .join(batch["surfaces"], ["snapshot_ts", "surface"])
+        .select("snapshot_ts", "norm", "component")
+        .distinct()
+    )
+    assert partition(inc_comp, "norm", "component") == partition(
+        bat_norm_comp, "norm", "component"
+    )
+
+
+def test_incremental_er_rerun_is_noop(spark, tmp_path):
+    """Re-running the ingest with no new files must not re-score
+    anything (exactly-once file consumption via the stream checkpoint)."""
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.streaming.incremental_er import (
+        read_scored_pairs,
+        stream_incremental_er,
+    )
+    from tempel_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=20, n_entities=8, n_snapshots=2)
+    landing = str(tmp_path / "landing")
+    cat = Catalog(spark, str(tmp_path / "er_state"))
+    t.write.mode("append").parquet(landing)
+    stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
+    before = _canon_pairs(read_scored_pairs(spark, cat))
+    stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
+    assert _canon_pairs(read_scored_pairs(spark, cat)) == before
