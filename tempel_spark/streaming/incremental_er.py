@@ -162,21 +162,26 @@ def stream_incremental_er(
         else:
             fresh = bn.localCheckpoint(eager=True)
             merged = fresh
-        vocab = catalog.write(merged, _VOCAB)
         n_new = fresh.count()
+        # WRITE ORDER = crash safety. foreachBatch retries a failed
+        # batch (offsets commit only on success), so: pairs append
+        # FIRST (a retry after a mid-append crash re-appends them —
+        # at-least-once, restored to exactly-once by the dedupe in
+        # read_scored_pairs), vocab commit SECOND (the moment these
+        # norms stop being "fresh"; committing it first would make a
+        # retry see an empty frontier and silently drop the batch's
+        # pairs forever).
         if n_new:
-            pairs = _new_pairs(fresh, vocab, pair_cap, lsh_hashes, lsh_bands)
+            pairs = _new_pairs(fresh, merged, pair_cap, lsh_hashes, lsh_bands)
             scored = score_pairs(
                 pairs, "norm_a", "norm_b", threshold=threshold, prenormalized=True
             )
             # append-only pair log: the one ER table that must never
             # be rewritten per ingest
             scored.write.mode("append").parquet(catalog.path(_PAIRS))
-            n_pairs = -1  # avoid a second action; counts live in lineage readers
-        else:
-            n_pairs = 0
+        catalog.write(merged, _VOCAB)
         catalog.log_metrics(
-            f"stream_er_batch_{batch_id}", {"n_new_norms": n_new, "paired": n_pairs != 0}
+            f"stream_er_batch_{batch_id}", {"n_new_norms": n_new, "paired": n_new > 0}
         )
 
     return (
@@ -190,13 +195,45 @@ def stream_incremental_er(
 
 
 def read_scored_pairs(spark: SparkSession, catalog: Catalog) -> DataFrame:
-    return spark.read.parquet(catalog.path(_PAIRS))
+    """Accumulated pair log. The dedupe undoes the at-least-once
+    append of a retried batch (see the write-order note in
+    stream_incremental_er) — duplicate rows are bit-identical, so any
+    survivor is correct."""
+    return spark.read.parquet(catalog.path(_PAIRS)).dropDuplicates(
+        ["snapshot_ts", "id_a", "id_b"]
+    )
 
 
-def recluster(spark: SparkSession, catalog: Catalog, shuffle_partitions: int = 16):
+def recluster(
+    spark: SparkSession,
+    catalog: Catalog,
+    shuffle_partitions: int = 16,
+    warm: bool = False,
+    persist_state: bool | None = None,
+):
     """Periodic batch job over the accumulated pair log: match edges
     (+ abbreviation-prior edges against the CURRENT vocab frequencies)
-    → connected components per snapshot. Vocabulary-scale, corpus-free."""
+    → connected components per snapshot. Vocabulary-scale, corpus-free.
+
+    warm=True resumes from the previous run's MATCH-edge star forest
+    (persisted under `stream_cc_state`) unioned with the grown match
+    edge list — valid because match edges are text-determined and the
+    pair log only grows (monotone), so CC(prev_star ∪ match_edges) ==
+    CC(match_edges). Abbreviation-prior edges are deliberately NOT in
+    the persisted state: they are frequency-routed and can CHANGE as
+    priors shift with new data (a "falcon" that re-routes to a
+    different full form must not stay welded to the old one — caught
+    by the two-wave test), so each recluster overlays the CURRENT
+    abbreviation edges on the match star forest in a second, cheap CC
+    pass (near-star graph + one edge per ambiguous abbreviation).
+    Warm wins once the match edge list is past the single-task-
+    contraction threshold (a near-star start converges in ~2 rounds
+    instead of ⌈log diameter⌉); below it the cold single-task path is
+    already one pass, so warm stays opt-in.
+
+    persist_state defaults to the value of `warm` (a warm chain keeps
+    refreshing its own state; a cold call stays single-pass and
+    persists nothing)."""
     from tempel_spark.operators.clustering import connected_components
 
     scored = read_scored_pairs(spark, catalog)
@@ -220,22 +257,57 @@ def recluster(spark: SparkSession, catalog: Catalog, shuffle_partitions: int = 1
             ["snapshot_ts", "id_b"],
         )
     )
-    edges = refreshed.filter(F.col("is_match")).select(
-        "snapshot_ts", "id_a", "id_b"
-    ).unionByName(
+    if persist_state is None:
+        persist_state = warm
+    sep = "\x1f"
+
+    def scoped(df, a, b):
+        return df.select(
+            F.concat_ws(sep, F.col("snapshot_ts").cast("string"), a).alias("id_a"),
+            F.concat_ws(sep, F.col("snapshot_ts").cast("string"), b).alias("id_b"),
+        )
+
+    match_e = scoped(refreshed.filter(F.col("is_match")), "id_a", "id_b")
+    abbr_e = scoped(
         abbreviation_edges(
             refreshed, text_a="norm_a", text_b="norm_b", prenormalized=True,
             freq_a="n_mentions_a", freq_b="n_mentions_b",
-        )
-    )
-    sep = "\x1f"
-    e = edges.select(
-        F.concat_ws(sep, F.col("snapshot_ts").cast("string"), "id_a").alias("id_a"),
-        F.concat_ws(sep, F.col("snapshot_ts").cast("string"), "id_b").alias("id_b"),
+        ),
+        "id_a", "id_b",
     )
     nodes = vocab.select(
         F.concat_ws(sep, F.col("snapshot_ts").cast("string"), "norm").alias("id_a")
     )
+    if warm or persist_state:
+        # stage 1: match-edge-only CC (the monotone, warm-startable
+        # part — this is where the big edge list lives)
+        resume = None
+        if warm and catalog.exists("stream_cc_state"):
+            prev = catalog.read("stream_cc_state")
+            resume = (
+                prev.unionByName(
+                    match_e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+                )
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+        res1 = connected_components(
+            match_e, shuffle_partitions=shuffle_partitions, resume_state=resume
+        )
+        star1 = res1.components.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("id_a"), F.col("component").alias("id_b")
+        )
+        if persist_state:
+            star1 = catalog.write(
+                star1.withColumnRenamed("id_a", "a").withColumnRenamed("id_b", "b"),
+                "stream_cc_state",
+            ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        # stage 2: overlay the CURRENT prior-routed abbreviation edges
+        # on the match star forest (near-star + tiny edge set → the
+        # single-task endgame solves it in one pass)
+        e = star1.unionByName(abbr_e)
+    else:
+        e = match_e.unionByName(abbr_e)
     res = connected_components(e, nodes=nodes, shuffle_partitions=shuffle_partitions)
     return res.components.select(
         F.split_part("node", F.lit(sep), F.lit(1)).cast("timestamp").alias("snapshot_ts"),

@@ -46,6 +46,9 @@ def test_incremental_er_matches_batch(spark, tmp_path):
         spark, landing, cat, snapshots=_SNAPS, pair_cap=_CAP
     ).awaitTermination()
     n_pairs_wave1 = read_scored_pairs(spark, cat).count()
+    # warm recluster after wave 1: no state yet, so it solves cold and
+    # persists the match-edge star forest for the chain below
+    recluster(spark, cat, warm=True)
 
     # wave 2 lands later; the SAME stream checkpoint resumes and
     # processes only the new files
@@ -79,7 +82,9 @@ def test_incremental_er_matches_batch(spark, tmp_path):
         # subset), so sorted() would compare arbitrarily
         return {frozenset((s, n) for n in v) for (s, _), v in groups.items()}
 
-    inc_comp = recluster(spark, cat)
+    # warm recluster resumes from wave 1's star forest unioned with
+    # the grown edge list — must equal the cold/batch answer
+    inc_comp = recluster(spark, cat, warm=True)
     # batch: norm → component via the surface-level assignment
     bat_norm_comp = (
         batch["surface_components"]
