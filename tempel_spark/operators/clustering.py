@@ -229,8 +229,7 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
                 # persist the final star state so a mid-run resume
                 # warm-starts from the fixed point
                 e = durable_checkpoint(e, 1)
-            return _star_labels(e, edges, id_a, nodes, iterations=0,
-                                converged=True, history=[])
+            return _star_labels(e, nodes, iterations=0, converged=True, history=[])
         parts = max(
             int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             prev_sig[0] // 2_000_000 + 1,
@@ -255,11 +254,10 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
             break
         prev_sig = sig
 
-    return _star_labels(e, edges, id_a, nodes, iterations=it,
-                        converged=converged, history=history)
+    return _star_labels(e, nodes, iterations=it, converged=converged, history=history)
 
 
-def _star_labels(e, edges, id_a, nodes, iterations, converged, history) -> CCResult:
+def _star_labels(e, nodes, iterations, converged, history) -> CCResult:
     # star forest → labels; representatives + singletons point at themselves
     labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
     reps = e.select(F.col("b").alias("node")).distinct().withColumn("component", F.col("node"))

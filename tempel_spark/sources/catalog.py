@@ -73,13 +73,59 @@ class Catalog:
     def exists(self, name: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(f"ckpt_{name}")
+        self._recover(name)
         return os.path.exists(f"{self.path(name)}/_SUCCESS_TEMPEL")
 
+    # -- atomic publish ----------------------------------------------------
+    # The sentinel (and any inline meta) is written INSIDE the tmp dir
+    # BEFORE the swap, so the final os.rename is the single commit
+    # point: a crash at any earlier moment leaves the previous publish
+    # (or a recoverable .__old_) untouched, never a half-written final.
+
+    def _swap_in(self, tmp: str, final: str) -> None:
+        trash = f"{final}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(final):
+            os.rename(final, trash)
+        os.rename(tmp, final)
+        if os.path.exists(trash):
+            shutil.rmtree(trash)
+
+    def _recover(self, name: str) -> None:
+        """Heal an interrupted swap: if the final dir is missing, adopt
+        a complete (sentinel-bearing) .__tmp_ publish, else restore the
+        .__old_ previous version. No-op in the common case."""
+        final = self.path(name)
+        if os.path.exists(final):
+            return
+        import glob as _glob
+
+        tmps = sorted(
+            d for d in _glob.glob(f"{final}.__tmp_*")
+            if os.path.exists(f"{d}/_SUCCESS_TEMPEL")
+        )
+        if tmps:
+            os.rename(tmps[-1], final)
+            return
+        olds = sorted(_glob.glob(f"{final}.__old_*"))
+        if olds:
+            os.rename(olds[-1], final)
+
     # -- write / read ----------------------------------------------------
-    def write(self, df: DataFrame, name: str, partition_by: tuple[str, ...] = ()) -> DataFrame:
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: tuple[str, ...] = (),
+        inline_meta: dict | None = None,
+    ) -> DataFrame:
         """Overwrite-publish a stage table; returns the re-read
         DataFrame (reading back the checkpoint truncates lineage the
-        same way the reference's pickle reload does, but distributed)."""
+        same way the reference's pickle reload does, but distributed).
+
+        inline_meta: a small dict published ATOMICALLY with the data
+        (written inside the tmp dir before the commit rename) — use it
+        for markers that must never disagree with the table contents,
+        e.g. the incremental-ER applied-batch id."""
         t0 = time.time()
         if self.use_iceberg:
             w = df.writeTo(f"ckpt_{name}").using("iceberg")
@@ -94,33 +140,44 @@ class Catalog:
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(tmp)
-            if os.path.exists(final):
-                shutil.rmtree(final)
-            os.rename(tmp, final)
-            with open(f"{final}/_SUCCESS_TEMPEL", "w") as fh:
+            if inline_meta is not None:
+                with open(f"{tmp}/_inline_meta.json", "w") as fh:
+                    json.dump(inline_meta, fh)
+            with open(f"{tmp}/_SUCCESS_TEMPEL", "w") as fh:
                 fh.write("ok")
+            self._swap_in(tmp, final)
             # a plain write over a previously bucketed stage must drop
-            # the stale layout, or read() would apply a bucket spec to
-            # non-bucketed files
+            # the stale registration, or spark.table would keep serving
+            # the replaced files' bucket layout
             self._clear_bucket_layout(name)
             out = self.spark.read.parquet(final)
         self._journal(name, df_schema=[f.simpleString() for f in df.schema.fields],
                       seconds=round(time.time() - t0, 3), partition_by=list(partition_by))
         return out
 
+    def get_inline_meta(self, name: str) -> dict | None:
+        """The dict published atomically with the last write(), if any."""
+        p = f"{self.path(name)}/_inline_meta.json"
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.table(f"ckpt_{name}")
+        self._recover(name)
         spec = self._get_bucket_spec(name)
         if spec:
             return self._read_bucketed(name, spec)
         return self.spark.read.parquet(self.path(name))
 
     # -- bucketed stage tables ---------------------------------------------
-    # The bucket spec lives in its OWN sidecar (_bucket_<name>.json), not
-    # the put_meta/get_meta one: pipeline code owns that dict for stage
-    # fingerprints and compares it by full equality (pipeline.py cc_edges
-    # warm-start gate), so the two must never clobber each other.
+    # The bucket spec lives INSIDE the published directory (not the
+    # put_meta sidecar — pipeline code owns that dict for stage
+    # fingerprints and compares it by full equality), so spec and data
+    # commit in the same rename and a plain re-write atomically sheds
+    # the old layout with the old files.
 
     def _tbl(self, name: str) -> str:
         """Session-global registration name scoped by the catalog base
@@ -130,24 +187,19 @@ class Catalog:
 
         return f"ckpt_{name}__{hashlib.md5(self.base.encode()).hexdigest()[:8]}"
 
-    def _bucket_spec_path(self, name: str) -> str:
-        return f"{self.base}/_bucket_{name}.json"
-
     def _get_bucket_spec(self, name: str) -> dict | None:
-        p = self._bucket_spec_path(name)
+        p = f"{self.path(name)}/_bucket_spec.json"
         if not os.path.exists(p):
             return None
         with open(p) as fh:
             return json.load(fh)
 
     def _clear_bucket_layout(self, name: str) -> None:
-        """Forget a stage's bucket layout: registration + sidecar. Used
-        when a plain write() replaces a bucketed checkpoint, so read()
-        never applies a stale bucket spec to non-bucketed files."""
+        """Drop a stage's in-session bucket registration. The spec file
+        lives inside the published dir, so a plain write() replacing
+        the dir sheds it automatically — only the session-catalog
+        registration can go stale and needs the explicit drop."""
         self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
-        p = self._bucket_spec_path(name)
-        if os.path.exists(p):
-            os.remove(p)
 
     def write_bucketed_stage(
         self,
@@ -164,11 +216,12 @@ class Catalog:
         tests/test_cc_resume.py. With an Iceberg catalog the same
         intent is a `bucket(n, col)` partition transform. Bucket
         metadata lives in the session catalog, not the parquet files,
-        so the bucket spec is persisted as a sidecar and the table is
-        re-registered on read in a fresh session. Publish is atomic
-        (tmp dir + rename, like write()), so a failed re-checkpoint
-        keeps the previous good state and `df` may derive from the
-        stage being replaced."""
+        so the bucket spec is written inside the published dir (same
+        commit rename as the data) and the table is re-registered on
+        read in a fresh session. Publish is atomic (spec + sentinel
+        land in the tmp dir before the swap), so a failed
+        re-checkpoint keeps the previous good state and `df` may
+        derive from the stage being replaced."""
         t0 = time.time()
         from tempel_spark.sources.sinks import write_bucketed
 
@@ -179,19 +232,17 @@ class Catalog:
                        sort_cols=sort_by, path=tmp)
         # external table: dropping the registration keeps the files
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-        self._clear_bucket_layout(name)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        with open(f"{final}/_SUCCESS_TEMPEL", "w") as fh:
-            fh.write("ok")
         spec = {
             "bucket_by": list(bucket_by), "n_buckets": n_buckets,
             "sort_by": list(sort_by or ()),
             "schema_ddl": df.schema.simpleString()[7:-1],  # strip struct<...>
         }
-        with open(self._bucket_spec_path(name), "w") as fh:
+        with open(f"{tmp}/_bucket_spec.json", "w") as fh:
             json.dump(spec, fh)
+        with open(f"{tmp}/_SUCCESS_TEMPEL", "w") as fh:
+            fh.write("ok")
+        self._clear_bucket_layout(name)
+        self._swap_in(tmp, final)
         self._journal(name, df_schema=[f.simpleString() for f in df.schema.fields],
                       seconds=round(time.time() - t0, 3),
                       bucket_by=list(bucket_by), n_buckets=n_buckets)

@@ -67,6 +67,23 @@ __all__ = ["stream_incremental_er", "read_scored_pairs", "recluster"]
 
 _VOCAB = "stream_norms"
 _PAIRS = "stream_scored_pairs"
+_KEYS = "stream_block_keys"
+
+
+def _has_keys(catalog: Catalog) -> bool:
+    import os
+
+    return os.path.exists(catalog.path(_KEYS))
+
+
+def _vocab_keys(spark: SparkSession, catalog: Catalog) -> DataFrame:
+    """The persisted block-key log (append-only, one append per ingest
+    frontier). The dedupe undoes replayed-batch appends; n_mentions is
+    the arrival-time count, which is benign here — keys drive block
+    membership and hot-block caps only, never scores."""
+    return spark.read.parquet(catalog.path(_KEYS)).dropDuplicates(
+        ["snapshot_ts", "norm", "block_key"]
+    )
 
 
 def _batch_norms(transcripts: DataFrame, snapshots: list[str] | None) -> DataFrame:
@@ -83,19 +100,18 @@ def _batch_norms(transcripts: DataFrame, snapshots: list[str] | None) -> DataFra
 
 
 def _new_pairs(
+    kf: DataFrame,
+    ka: DataFrame,
     fresh: DataFrame,
     vocab: DataFrame,
     pair_cap: int,
-    lsh_hashes: int,
-    lsh_bands: int,
 ) -> DataFrame:
-    """Candidate pairs with ≥ 1 fresh side: fresh block keys equi-join
-    the full vocabulary's keys (fresh ⊆ vocab, so fresh×vocab covers
+    """Candidate pairs with ≥ 1 fresh side: the fresh norms' block
+    keys (`kf`) equi-join the full vocabulary's keys (`ka`, the
+    persisted key log — fresh ⊆ vocab, so fresh×vocab covers
     fresh×fresh too), plus the bipartite first-token key in both role
     assignments. Hot blocks stay capped on the vocabulary side — the
     same guardrail as batch, applied per ingest."""
-    kf = build_block_keys(fresh, lsh_hashes, lsh_bands)
-    ka = build_block_keys(vocab, lsh_hashes, lsh_bands)
     ka = cap_block_size(ka, ["snapshot_ts", "block_key"], "norm", cap=pair_cap)
     kf = cap_block_size(kf, ["snapshot_ts", "block_key"], "norm", cap=pair_cap)
     j = kf.select(
@@ -145,6 +161,17 @@ def stream_incremental_er(
     ckpt = checkpoint_dir or f"{catalog.base}/_stream_er_ckpt"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        # REPLAY GUARD: the vocab commit carries the applied batch id
+        # ATOMICALLY with its contents (inline meta rides the same
+        # commit rename). A batch replayed after a crash in the offset
+        # commit window would otherwise re-fold its counts into a
+        # vocab that already contains them, doubling n_mentions and
+        # corrupting the abbreviation priors.
+        applied = catalog.get_inline_meta(_VOCAB) or {}
+        if applied.get("er_ckpt") == ckpt and applied.get("er_batch_id") == batch_id:
+            catalog.log_metrics(f"stream_er_batch_{batch_id}", {"replayed": True})
+            return
         bn = _batch_norms(batch_df, snapshots)
         if catalog.exists(_VOCAB):
             prev = catalog.read(_VOCAB)
@@ -164,22 +191,34 @@ def stream_incremental_er(
             merged = fresh
         n_new = fresh.count()
         # WRITE ORDER = crash safety. foreachBatch retries a failed
-        # batch (offsets commit only on success), so: pairs append
-        # FIRST (a retry after a mid-append crash re-appends them —
-        # at-least-once, restored to exactly-once by the dedupe in
-        # read_scored_pairs), vocab commit SECOND (the moment these
-        # norms stop being "fresh"; committing it first would make a
-        # retry see an empty frontier and silently drop the batch's
-        # pairs forever).
+        # batch (offsets commit only on success), so: pair + key
+        # appends FIRST (a retry after a mid-append crash re-appends
+        # them — at-least-once, restored to exactly-once by the
+        # dedupes in read_scored_pairs/_vocab_keys), vocab commit LAST
+        # (the moment these norms stop being "fresh"; committing it
+        # first would make a retry see an empty frontier and silently
+        # drop the batch's pairs forever).
         if n_new:
-            pairs = _new_pairs(fresh, merged, pair_cap, lsh_hashes, lsh_bands)
+            # keys are computed for the FRONTIER only; the vocabulary
+            # side comes from the persisted key log (keys derive from
+            # norm text alone, so a norm is MinHash-keyed exactly once
+            # over its lifetime — per-ingest cost tracks the frontier,
+            # not |vocab|)
+            kf = build_block_keys(fresh, lsh_hashes, lsh_bands).localCheckpoint(
+                eager=True
+            )
+            ka = kf.unionByName(_vocab_keys(spark_b, catalog)) if _has_keys(catalog) else kf
+            pairs = _new_pairs(kf, ka, fresh, merged, pair_cap)
             scored = score_pairs(
                 pairs, "norm_a", "norm_b", threshold=threshold, prenormalized=True
             )
             # append-only pair log: the one ER table that must never
             # be rewritten per ingest
             scored.write.mode("append").parquet(catalog.path(_PAIRS))
-        catalog.write(merged, _VOCAB)
+            kf.write.mode("append").parquet(catalog.path(_KEYS))
+        catalog.write(
+            merged, _VOCAB, inline_meta={"er_ckpt": ckpt, "er_batch_id": batch_id}
+        )
         catalog.log_metrics(
             f"stream_er_batch_{batch_id}", {"n_new_norms": n_new, "paired": n_new > 0}
         )
@@ -198,10 +237,18 @@ def read_scored_pairs(spark: SparkSession, catalog: Catalog) -> DataFrame:
     """Accumulated pair log. The dedupe undoes the at-least-once
     append of a retried batch (see the write-order note in
     stream_incremental_er) — duplicate rows are bit-identical, so any
-    survivor is correct."""
-    return spark.read.parquet(catalog.path(_PAIRS)).dropDuplicates(
-        ["snapshot_ts", "id_a", "id_b"]
-    )
+    survivor is correct. Raises a clear FileNotFoundError before any
+    pair-producing ingest has run (recluster handles that case itself
+    by emitting singletons)."""
+    import os
+
+    p = catalog.path(_PAIRS)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"pair log {p} does not exist yet — run stream_incremental_er "
+            "over at least one mention-bearing batch first"
+        )
+    return spark.read.parquet(p).dropDuplicates(["snapshot_ts", "id_a", "id_b"])
 
 
 def recluster(
@@ -236,8 +283,16 @@ def recluster(
     persists nothing)."""
     from tempel_spark.operators.clustering import connected_components
 
-    scored = read_scored_pairs(spark, catalog)
     vocab = catalog.read(_VOCAB)
+    try:
+        scored = read_scored_pairs(spark, catalog)
+    except FileNotFoundError:
+        # ingested norms but no candidate pairs yet (e.g. recluster
+        # scheduled ahead of the first pair-bearing batch): every norm
+        # is its own component
+        return vocab.select(
+            "snapshot_ts", "norm", F.col("norm").alias("component")
+        )
     # refresh priors: arrival-time frequencies in the log are stale
     cur = vocab.select("snapshot_ts", F.col("norm"), F.col("n_mentions"))
     refreshed = (

@@ -136,3 +136,28 @@ def test_bucketed_stage_resume_no_shuffle(spark, tmp_path):
     assert cat.read("b_e").count() == 200
     cat.delete("b_m")
     cat.delete("b_e")
+
+
+def test_catalog_swap_recovery(spark, tmp_path):
+    """A crash inside the publish swap leaves either a complete
+    .__tmp_ or a displaced .__old_ dir; exists()/read() must heal
+    both instead of reporting the stage lost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tempel_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "c"))
+    cat.write(spark.range(5).select(F.col("id")), "s")
+    final = cat.path("s")
+    # crash between rename(final -> old) and rename(tmp -> final)
+    os.rename(final, final + ".__old_deadbeef")
+    assert cat.exists("s")
+    assert cat.read("s").count() == 5
+    # crash between the tmp publish completing and the swap: a
+    # sentinel-bearing tmp dir and no final
+    cat.write(spark.range(7).select(F.col("id")), "s")
+    os.rename(cat.path("s"), cat.path("s") + ".__tmp_feedface")
+    assert cat.exists("s")
+    assert cat.read("s").count() == 7

@@ -115,3 +115,32 @@ def test_incremental_er_rerun_is_noop(spark, tmp_path):
     before = _canon_pairs(read_scored_pairs(spark, cat))
     stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
     assert _canon_pairs(read_scored_pairs(spark, cat)) == before
+
+
+def test_replayed_batch_does_not_double_vocab_counts(spark, tmp_path):
+    """The vocab commit carries the applied (checkpoint, batch) id
+    atomically; replaying an already-applied batch (here: the stream
+    checkpoint is wiped so the same files come back as the same batch
+    id) must leave the vocabulary counts untouched instead of
+    re-folding them."""
+    import shutil
+
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.streaming.incremental_er import stream_incremental_er
+    from tempel_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=15, n_entities=6, n_snapshots=2)
+    landing = str(tmp_path / "landing")
+    cat = Catalog(spark, str(tmp_path / "er_state"))
+    t.write.mode("append").parquet(landing)
+    stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
+    before = sorted(
+        map(tuple, cat.read("stream_norms").select("norm", "n_mentions").collect())
+    )
+    # wipe the stream offsets: the same files replay as batch 0 again
+    shutil.rmtree(f"{cat.base}/_stream_er_ckpt")
+    stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
+    after = sorted(
+        map(tuple, cat.read("stream_norms").select("norm", "n_mentions").collect())
+    )
+    assert after == before
