@@ -82,33 +82,48 @@ class Catalog:
     # point: a crash at any earlier moment leaves the previous publish
     # (or a recoverable .__old_) untouched, never a half-written final.
 
+    @staticmethod
+    def _orphans(final: str) -> list[str]:
+        import glob as _glob
+
+        return _glob.glob(f"{final}.__tmp_*") + _glob.glob(f"{final}.__old_*")
+
     def _swap_in(self, tmp: str, final: str) -> None:
         trash = f"{final}.__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(final):
             os.rename(final, trash)
         os.rename(tmp, final)
-        if os.path.exists(trash):
-            shutil.rmtree(trash)
+        # GC the trash AND any orphans earlier crashes left behind —
+        # a surviving orphan could later be resurrected by _recover
+        # and shadow this publish
+        for d in self._orphans(final):
+            shutil.rmtree(d, ignore_errors=True)
 
     def _recover(self, name: str) -> None:
         """Heal an interrupted swap: if the final dir is missing, adopt
-        a complete (sentinel-bearing) .__tmp_ publish, else restore the
-        .__old_ previous version. No-op in the common case."""
+        the NEWEST complete (sentinel-bearing) .__tmp_ publish, else
+        restore the newest .__old_ previous version; non-adopted
+        orphans are removed either way. No-op in the common case."""
         final = self.path(name)
         if os.path.exists(final):
             return
         import glob as _glob
 
-        tmps = sorted(
+        tmps = [
             d for d in _glob.glob(f"{final}.__tmp_*")
             if os.path.exists(f"{d}/_SUCCESS_TEMPEL")
-        )
+        ]
+        pick = None
         if tmps:
-            os.rename(tmps[-1], final)
-            return
-        olds = sorted(_glob.glob(f"{final}.__old_*"))
-        if olds:
-            os.rename(olds[-1], final)
+            pick = max(tmps, key=os.path.getmtime)
+        else:
+            olds = _glob.glob(f"{final}.__old_*")
+            if olds:
+                pick = max(olds, key=os.path.getmtime)
+        if pick is not None:
+            os.rename(pick, final)
+            for d in self._orphans(final):
+                shutil.rmtree(d, ignore_errors=True)
 
     # -- write / read ----------------------------------------------------
     def write(
@@ -128,6 +143,14 @@ class Catalog:
         e.g. the incremental-ER applied-batch id."""
         t0 = time.time()
         if self.use_iceberg:
+            if inline_meta is not None:
+                # silently dropping the marker would re-enable the
+                # replay double-count the marker exists to prevent;
+                # the Iceberg analogue is a table property set in the
+                # same transaction, not yet wired up
+                raise NotImplementedError(
+                    "inline_meta is not supported on the Iceberg catalog path yet"
+                )
             w = df.writeTo(f"ckpt_{name}").using("iceberg")
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
@@ -156,7 +179,11 @@ class Catalog:
         return out
 
     def get_inline_meta(self, name: str) -> dict | None:
-        """The dict published atomically with the last write(), if any."""
+        """The dict published atomically with the last write(), if any.
+        Runs crash recovery first — a replay guard that read None from
+        an unhealed swap would re-apply a batch the adopted publish
+        already contains."""
+        self._recover(name)
         p = f"{self.path(name)}/_inline_meta.json"
         if not os.path.exists(p):
             return None
@@ -282,6 +309,10 @@ class Catalog:
             final = self.path(name)
             if os.path.exists(final):
                 shutil.rmtree(final)
+            # also purge swap orphans, or _recover would resurrect a
+            # deliberately invalidated stage on the next exists()
+            for d in self._orphans(final):
+                shutil.rmtree(d, ignore_errors=True)
         meta = f"{self.base}/_meta_{name}.json"
         if os.path.exists(meta):
             os.remove(meta)

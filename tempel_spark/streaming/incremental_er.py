@@ -162,17 +162,36 @@ def stream_incremental_er(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        # REPLAY GUARD: the vocab commit carries the applied batch id
-        # ATOMICALLY with its contents (inline meta rides the same
-        # commit rename). A batch replayed after a crash in the offset
-        # commit window would otherwise re-fold its counts into a
-        # vocab that already contains them, doubling n_mentions and
-        # corrupting the abbreviation priors.
+        bn = _batch_norms(batch_df, snapshots).localCheckpoint(eager=True)
+        fp_row = bn.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(snapshot_ts, norm, n_mentions))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        batch_fp = f"{fp_row['n']}:{fp_row['h']}"
+        # REPLAY GUARD: the vocab commit carries the applied batch id +
+        # a content fingerprint ATOMICALLY with its contents (inline
+        # meta rides the same commit rename). A batch replayed after a
+        # crash in the offset commit window would otherwise re-fold
+        # its counts into a vocab that already contains them, doubling
+        # n_mentions and corrupting the abbreviation priors. The
+        # fingerprint distinguishes a true replay (same content →
+        # skip) from a wiped stream checkpoint presenting a GROWN file
+        # set under the same batch id — skipping that would silently
+        # drop the new files' mentions, so it fails loudly instead.
         applied = catalog.get_inline_meta(_VOCAB) or {}
         if applied.get("er_ckpt") == ckpt and applied.get("er_batch_id") == batch_id:
-            catalog.log_metrics(f"stream_er_batch_{batch_id}", {"replayed": True})
-            return
-        bn = _batch_norms(batch_df, snapshots)
+            if applied.get("er_batch_fp") == batch_fp:
+                catalog.log_metrics(f"stream_er_batch_{batch_id}", {"replayed": True})
+                return
+            raise RuntimeError(
+                "stream checkpoint / ER state mismatch: batch "
+                f"{batch_id} was already applied with different contents. "
+                "The stream checkpoint dir was likely deleted while the "
+                "catalog state was kept — they must live and die together. "
+                "Start a fresh catalog (or restore the checkpoint) instead."
+            )
         if catalog.exists(_VOCAB):
             prev = catalog.read(_VOCAB)
             # materialize BEFORE the vocab overwrite: both anti-join
@@ -217,7 +236,11 @@ def stream_incremental_er(
             scored.write.mode("append").parquet(catalog.path(_PAIRS))
             kf.write.mode("append").parquet(catalog.path(_KEYS))
         catalog.write(
-            merged, _VOCAB, inline_meta={"er_ckpt": ckpt, "er_batch_id": batch_id}
+            merged,
+            _VOCAB,
+            inline_meta={
+                "er_ckpt": ckpt, "er_batch_id": batch_id, "er_batch_fp": batch_fp,
+            },
         )
         catalog.log_metrics(
             f"stream_er_batch_{batch_id}", {"n_new_norms": n_new, "paired": n_new > 0}
@@ -240,13 +263,17 @@ def read_scored_pairs(spark: SparkSession, catalog: Catalog) -> DataFrame:
     survivor is correct. Raises a clear FileNotFoundError before any
     pair-producing ingest has run (recluster handles that case itself
     by emitting singletons)."""
+    import glob
     import os
 
     p = catalog.path(_PAIRS)
-    if not os.path.exists(p):
+    # a batch with fresh norms but zero candidate pairs creates the
+    # directory with no data files — that is still "no pairs yet"
+    # (spark.read.parquet on it would fail schema inference)
+    if not os.path.exists(p) or not glob.glob(f"{p}/*.parquet"):
         raise FileNotFoundError(
-            f"pair log {p} does not exist yet — run stream_incremental_er "
-            "over at least one mention-bearing batch first"
+            f"pair log {p} has no pairs yet — run stream_incremental_er "
+            "over at least one pair-producing batch first"
         )
     return spark.read.parquet(p).dropDuplicates(["snapshot_ts", "id_a", "id_b"])
 

@@ -144,3 +144,51 @@ def test_replayed_batch_does_not_double_vocab_counts(spark, tmp_path):
         map(tuple, cat.read("stream_norms").select("norm", "n_mentions").collect())
     )
     assert after == before
+
+
+def test_recluster_with_empty_pair_log(spark, tmp_path):
+    """A pair-log directory with no data files (first batch produced
+    zero candidate pairs) must yield singleton components, not a
+    schema-inference crash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.streaming.incremental_er import recluster
+
+    cat = Catalog(spark, str(tmp_path / "er_state"))
+    vocab = spark.createDataFrame(
+        [("2013-01-01 00:00:00", "alpha", 3), ("2013-01-01 00:00:00", "beta", 2)],
+        "snapshot_ts string, norm string, n_mentions long",
+    ).select(F.to_timestamp("snapshot_ts").alias("snapshot_ts"), "norm", "n_mentions")
+    cat.write(vocab, "stream_norms")
+    os.makedirs(cat.path("stream_scored_pairs"))
+    comp = recluster(spark, cat)
+    rows = {(r["norm"], r["component"]) for r in comp.collect()}
+    assert rows == {("alpha", "alpha"), ("beta", "beta")}
+
+
+def test_wiped_checkpoint_with_grown_input_fails_loudly(spark, tmp_path):
+    """If the stream checkpoint is wiped while the catalog state is
+    kept AND new files landed, the replayed batch id carries different
+    content — the ingest must error out rather than silently skip the
+    new files or double-count the old ones."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.streaming.incremental_er import stream_incremental_er
+    from tempel_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=16, n_entities=6, n_snapshots=2)
+    landing = str(tmp_path / "landing")
+    cat = Catalog(spark, str(tmp_path / "er_state"))
+    t.filter(F.crc32("conv_id") % 2 == 0).write.mode("append").parquet(landing)
+    stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
+    shutil.rmtree(f"{cat.base}/_stream_er_ckpt")
+    t.filter(F.crc32("conv_id") % 2 == 1).write.mode("append").parquet(landing)
+    with pytest.raises(Exception, match="mismatch"):
+        stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
