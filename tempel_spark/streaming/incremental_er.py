@@ -150,6 +150,7 @@ def stream_incremental_er(
     lsh_hashes: int = 12,
     lsh_bands: int = 6,
     checkpoint_dir: str | None = None,
+    embeddings: DataFrame | None = None,
 ):
     """Start (or resume) the incremental ER ingest over `input_dir`.
 
@@ -157,6 +158,15 @@ def stream_incremental_er(
     consumption: a cron-style rerun processes only files that landed
     since the last run and stops. Returns the StreamingQuery — call
     `.awaitTermination()`.
+
+    embeddings: optional cached NORM-keyed embeddings (snapshot_ts,
+    surface, embedding) — the same contract as run_pipeline's: when
+    given, scoring adds the cosine feature with the reweighted score,
+    so incremental scores stay bit-identical to a batch run with the
+    same embedding table. (Embeddings must cover a norm at ingest
+    time — scores are immutable once logged — and the option must be
+    used consistently over the pair log's lifetime: it changes the
+    logged schema, and mixing modes would mis-append.)
     """
     ckpt = checkpoint_dir or f"{catalog.base}/_stream_er_ckpt"
 
@@ -228,8 +238,27 @@ def stream_incremental_er(
             )
             ka = kf.unionByName(_vocab_keys(spark_b, catalog)) if _has_keys(catalog) else kf
             pairs = _new_pairs(kf, ka, fresh, merged, pair_cap)
+            emb_kw: dict = {}
+            if embeddings is not None:
+                # same defensive dedupe + left joins as the batch
+                # pipeline (pipeline.py _scored) so scores match a
+                # batch run bit-for-bit
+                emb = embeddings.dropDuplicates(["snapshot_ts", "surface"])
+                ea = emb.select(
+                    "snapshot_ts", F.col("surface").alias("id_a"),
+                    F.col("embedding").alias("emb_a"),
+                )
+                eb = emb.select(
+                    "snapshot_ts", F.col("surface").alias("id_b"),
+                    F.col("embedding").alias("emb_b"),
+                )
+                pairs = pairs.join(ea, ["snapshot_ts", "id_a"], "left").join(
+                    eb, ["snapshot_ts", "id_b"], "left"
+                )
+                emb_kw = {"emb_a": "emb_a", "emb_b": "emb_b"}
             scored = score_pairs(
-                pairs, "norm_a", "norm_b", threshold=threshold, prenormalized=True
+                pairs, "norm_a", "norm_b", threshold=threshold, prenormalized=True,
+                **emb_kw,
             )
             # append-only pair log: the one ER table that must never
             # be rewritten per ingest

@@ -433,3 +433,28 @@ def test_sorted_neighborhood_pairs(spark):
     # single Window operator in the plan
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window") == 1, plan
+
+
+def test_read_tsv_explicit_schema(spark, tmp_path):
+    """S4: TSV scan round-trip with quoted-free fields, an explicit
+    schema (schema-on-read is banned at scale), and tab-containing
+    text handled by the separator choice."""
+    from tempel_spark.sources.readers import read_tsv
+
+    p = tmp_path / "t.tsv"
+    p.write_text(
+        "page_id\ttitle\tviews\n"
+        "1\tAnarchism\t907\n"
+        "2\tAlbedo, the (reflective)\t42\n"
+        "3\t\t0\n"
+    )
+    df = read_tsv(spark, str(p), "page_id int, title string, views long")
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [
+        (1, "Anarchism", 907),
+        (2, "Albedo, the (reflective)", 42),
+        (3, None, 0),
+    ]
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "page_id:int", "title:string", "views:bigint"
+    ]

@@ -192,3 +192,46 @@ def test_wiped_checkpoint_with_grown_input_fails_loudly(spark, tmp_path):
     t.filter(F.crc32("conv_id") % 2 == 1).write.mode("append").parquet(landing)
     with pytest.raises(Exception, match="mismatch"):
         stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
+
+
+def test_incremental_er_with_embeddings_matches_batch(spark, tmp_path):
+    """Cached-embedding scoring: the incremental log with the same
+    norm-keyed embedding table must equal the batch pipeline's scored
+    pairs (reweighted cosine score included)."""
+    from pyspark.sql import functions as F
+
+    from tempel_spark.plans.pipeline import run_pipeline
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.streaming.incremental_er import (
+        read_scored_pairs,
+        stream_incremental_er,
+    )
+    from tempel_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=30, n_entities=10, n_snapshots=2)
+    plain = run_pipeline(spark, t, snapshots=_SNAPS, pair_cap=_CAP)
+    # deterministic norm-keyed embeddings derived from the vocabulary
+    emb = plain["norms"].select(
+        "snapshot_ts",
+        F.col("norm").alias("surface"),
+        F.array(
+            *[
+                (F.pmod(F.xxhash64(F.col("norm"), F.lit(i)), F.lit(97)) / 97.0)
+                for i in range(4)
+            ]
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+
+    landing = str(tmp_path / "landing")
+    cat = Catalog(spark, str(tmp_path / "er_state"))
+    t.filter(F.crc32("conv_id") % 2 == 0).write.mode("append").parquet(landing)
+    stream_incremental_er(
+        spark, landing, cat, snapshots=_SNAPS, pair_cap=_CAP, embeddings=emb
+    ).awaitTermination()
+    t.filter(F.crc32("conv_id") % 2 == 1).write.mode("append").parquet(landing)
+    stream_incremental_er(
+        spark, landing, cat, snapshots=_SNAPS, pair_cap=_CAP, embeddings=emb
+    ).awaitTermination()
+
+    batch = run_pipeline(spark, t, snapshots=_SNAPS, pair_cap=_CAP, embeddings=emb)
+    assert _canon_pairs(read_scored_pairs(spark, cat)) == _canon_pairs(batch["scored"])
