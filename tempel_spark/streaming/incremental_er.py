@@ -10,17 +10,20 @@ micro-batch:
   batch norm counts ──anti-join──▶ GENUINELY NEW norms (never seen
       │                            in this (snapshot, norm) vocab)
       ▼
-  vocab upsert (union + re-aggregate, atomically republished —
-      │   with an Iceberg catalog this is a MERGE INTO)
-      ▼
   candidate pairs: new × all, equi-joined on the SAME stationary
       │   block keys as batch (pipeline.build_block_keys — keys are
-      │   derived from norm text alone, so a norm is keyed once and
-      │   joins against any future vocabulary) + the bipartite
-      │   first-token key in both (new, all) / (all, new) roles
+      │   derived from norm text alone, so a norm is keyed once,
+      │   appended to a persisted key log, and joins against any
+      │   future vocabulary) + the bipartite first-token key in both
+      │   (new, all) / (all, new) roles
       ▼
   score_pairs (texts only ⇒ identical scores to batch) ──append──▶
       durable scored-pair log
+      ▼
+  vocab upsert LAST (union + re-aggregate, atomically republished
+          with the applied-batch marker inline — with an Iceberg
+          catalog this is a MERGE INTO; committing the vocab after
+          the appends is what makes a batch retry safe)
 
 Every emitted pair has ≥ 1 side that is new to the vocabulary, so no
 pair is ever scored twice across batches, and the accumulated log
