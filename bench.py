@@ -135,7 +135,11 @@ def main() -> None:
         weak = "--scaling-weak" in sys.argv
         results = {}
         lo, hi = max(1, CPUS // 4), CPUS
-        base_mult = int(os.environ.get("TEMPEL_SCALE_MULT", "4"))
+        # default sized so the WIDE leg still runs ~10 min: after the
+        # round-3 CC speedup, mult=32 stopped saturating 8 cores and
+        # the ratio under-read (BENCH.md strong-scaling log) — keep
+        # the corpus tracking code speed
+        base_mult = int(os.environ.get("TEMPEL_SCALE_MULT", "64"))
         have_taskset = subprocess.run(["which", "taskset"], capture_output=True, check=False).returncode == 0
         for n in (lo, hi):
             mult = base_mult * (n // lo) if weak else base_mult
