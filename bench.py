@@ -135,11 +135,13 @@ def main() -> None:
         weak = "--scaling-weak" in sys.argv
         results = {}
         lo, hi = max(1, CPUS // 4), CPUS
-        # default sized so the WIDE leg still runs ~10 min: after the
+        # defaults sized so the WIDE leg still runs ~10 min: after the
         # round-3 CC speedup, mult=32 stopped saturating 8 cores and
         # the ratio under-read (BENCH.md strong-scaling log) — keep
-        # the corpus tracking code speed
-        base_mult = int(os.environ.get("TEMPEL_SCALE_MULT", "64"))
+        # the corpus tracking code speed. Weak mode multiplies by the
+        # core ratio itself, so it starts from a smaller base to land
+        # its hi leg at the same ~64 total.
+        base_mult = int(os.environ.get("TEMPEL_SCALE_MULT", "16" if weak else "64"))
         have_taskset = subprocess.run(["which", "taskset"], capture_output=True, check=False).returncode == 0
         for n in (lo, hi):
             mult = base_mult * (n // lo) if weak else base_mult

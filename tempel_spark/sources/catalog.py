@@ -86,7 +86,8 @@ class Catalog:
     def _orphans(final: str) -> list[str]:
         import glob as _glob
 
-        return _glob.glob(f"{final}.__tmp_*") + _glob.glob(f"{final}.__old_*")
+        esc = _glob.escape(final)  # base paths may contain [ ] ? *
+        return _glob.glob(f"{esc}.__tmp_*") + _glob.glob(f"{esc}.__old_*")
 
     def _swap_in(self, tmp: str, final: str) -> None:
         trash = f"{final}.__old_{uuid.uuid4().hex[:8]}"
@@ -109,15 +110,16 @@ class Catalog:
             return
         import glob as _glob
 
+        esc = _glob.escape(final)
         tmps = [
-            d for d in _glob.glob(f"{final}.__tmp_*")
+            d for d in _glob.glob(f"{esc}.__tmp_*")
             if os.path.exists(f"{d}/_SUCCESS_TEMPEL")
         ]
         pick = None
         if tmps:
             pick = max(tmps, key=os.path.getmtime)
         else:
-            olds = _glob.glob(f"{final}.__old_*")
+            olds = _glob.glob(f"{esc}.__old_*")
             if olds:
                 pick = max(olds, key=os.path.getmtime)
         if pick is not None:

@@ -79,6 +79,14 @@ def _has_keys(catalog: Catalog) -> bool:
     return os.path.exists(catalog.path(_KEYS))
 
 
+def _pair_log_has_data(catalog: Catalog) -> bool:
+    import glob
+    import os
+
+    p = catalog.path(_PAIRS)
+    return os.path.exists(p) and bool(glob.glob(f"{glob.escape(p)}/*.parquet"))
+
+
 def _vocab_keys(spark: SparkSession, catalog: Catalog) -> DataFrame:
     """The persisted block-key log (append-only, one append per ingest
     frontier). The dedupe undoes replayed-batch appends; n_mentions is
@@ -169,8 +177,18 @@ def stream_incremental_er(
     same embedding table. (Embeddings must cover a norm at ingest
     time — scores are immutable once logged — and the option must be
     used consistently over the pair log's lifetime: it changes the
-    logged schema, and mixing modes would mis-append.)
+    logged schema, and mixing modes would mis-append — enforced by a
+    schema check against the existing log before each append.)
     """
+    if catalog.use_iceberg:
+        # fail BEFORE any work: the vocab commit's inline marker has
+        # no Iceberg implementation yet, and discovering that at the
+        # end of the batch would leave at-least-once appends behind
+        # on every retry
+        raise NotImplementedError(
+            "stream_incremental_er requires the parquet-mode catalog; "
+            "the Iceberg path lacks the atomic applied-batch marker"
+        )
     ckpt = checkpoint_dir or f"{catalog.base}/_stream_er_ckpt"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -194,17 +212,30 @@ def stream_incremental_er(
         # set under the same batch id — skipping that would silently
         # drop the new files' mentions, so it fails loudly instead.
         applied = catalog.get_inline_meta(_VOCAB) or {}
-        if applied.get("er_ckpt") == ckpt and applied.get("er_batch_id") == batch_id:
-            if applied.get("er_batch_fp") == batch_fp:
-                catalog.log_metrics(f"stream_er_batch_{batch_id}", {"replayed": True})
-                return
-            raise RuntimeError(
-                "stream checkpoint / ER state mismatch: batch "
-                f"{batch_id} was already applied with different contents. "
-                "The stream checkpoint dir was likely deleted while the "
-                "catalog state was kept — they must live and die together. "
-                "Start a fresh catalog (or restore the checkpoint) instead."
+        if applied.get("er_ckpt") == ckpt and applied.get("er_batch_id") is not None:
+            applied_id = applied["er_batch_id"]
+            mismatch = RuntimeError(
+                "stream checkpoint / ER state mismatch: the catalog has "
+                f"applied batch {applied_id} but the stream presented batch "
+                f"{batch_id} with unrecognized contents. The stream "
+                "checkpoint dir was likely deleted while the catalog state "
+                "was kept — they must live and die together. Start a fresh "
+                "catalog (or restore the checkpoint) instead."
             )
+            if batch_id == applied_id:
+                # missing fp = marker from before fingerprinting: the id
+                # match alone identified a true replay then; keep that
+                # behavior rather than forcing a state reset
+                if applied.get("er_batch_fp") in (None, batch_fp):
+                    catalog.log_metrics(
+                        f"stream_er_batch_{batch_id}", {"replayed": True}
+                    )
+                    return
+                raise mismatch
+            if batch_id < applied_id:
+                # a rewound stream (fresh checkpoint) re-presenting old
+                # ids would re-fold already-applied counts — never safe
+                raise mismatch
         if catalog.exists(_VOCAB):
             prev = catalog.read(_VOCAB)
             # materialize BEFORE the vocab overwrite: both anti-join
@@ -219,7 +250,7 @@ def stream_incremental_er(
                 .localCheckpoint(eager=True)
             )
         else:
-            fresh = bn.localCheckpoint(eager=True)
+            fresh = bn  # already an eager checkpoint (fingerprint above)
             merged = fresh
         n_new = fresh.count()
         # WRITE ORDER = crash safety. foreachBatch retries a failed
@@ -264,7 +295,21 @@ def stream_incremental_er(
                 **emb_kw,
             )
             # append-only pair log: the one ER table that must never
-            # be rewritten per ingest
+            # be rewritten per ingest. Column drift (an embeddings
+            # run appending onto a non-embeddings log or vice versa)
+            # would silently mix incomparable score scales — refuse.
+            if _pair_log_has_data(catalog):
+                existing = {
+                    f.name for f in spark_b.read.parquet(catalog.path(_PAIRS)).schema
+                }
+                now = set(scored.columns)
+                if existing != now:
+                    raise RuntimeError(
+                        "pair-log schema mismatch: existing log has columns "
+                        f"{sorted(existing)} but this ingest produces "
+                        f"{sorted(now)} — the embeddings option must be used "
+                        "consistently over the log's lifetime"
+                    )
             scored.write.mode("append").parquet(catalog.path(_PAIRS))
             kf.write.mode("append").parquet(catalog.path(_KEYS))
         catalog.write(
@@ -295,19 +340,17 @@ def read_scored_pairs(spark: SparkSession, catalog: Catalog) -> DataFrame:
     survivor is correct. Raises a clear FileNotFoundError before any
     pair-producing ingest has run (recluster handles that case itself
     by emitting singletons)."""
-    import glob
-    import os
-
-    p = catalog.path(_PAIRS)
     # a batch with fresh norms but zero candidate pairs creates the
     # directory with no data files — that is still "no pairs yet"
     # (spark.read.parquet on it would fail schema inference)
-    if not os.path.exists(p) or not glob.glob(f"{p}/*.parquet"):
+    if not _pair_log_has_data(catalog):
         raise FileNotFoundError(
-            f"pair log {p} has no pairs yet — run stream_incremental_er "
-            "over at least one pair-producing batch first"
+            f"pair log {catalog.path(_PAIRS)} has no pairs yet — run "
+            "stream_incremental_er over at least one pair-producing batch first"
         )
-    return spark.read.parquet(p).dropDuplicates(["snapshot_ts", "id_a", "id_b"])
+    return spark.read.parquet(catalog.path(_PAIRS)).dropDuplicates(
+        ["snapshot_ts", "id_a", "id_b"]
+    )
 
 
 def recluster(

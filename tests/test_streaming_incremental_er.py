@@ -235,3 +235,28 @@ def test_incremental_er_with_embeddings_matches_batch(spark, tmp_path):
 
     batch = run_pipeline(spark, t, snapshots=_SNAPS, pair_cap=_CAP, embeddings=emb)
     assert _canon_pairs(read_scored_pairs(spark, cat)) == _canon_pairs(batch["scored"])
+
+
+def test_wiped_checkpoint_after_multiple_batches_fails_loudly(spark, tmp_path):
+    """After ≥2 applied batches, a wiped stream checkpoint re-presents
+    batch id 0 — BELOW the applied id — which would re-fold the whole
+    old corpus into the vocab; the rewind must error, not proceed."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.streaming.incremental_er import stream_incremental_er
+    from tempel_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=16, n_entities=6, n_snapshots=2)
+    landing = str(tmp_path / "landing")
+    cat = Catalog(spark, str(tmp_path / "er_state"))
+    t.filter(F.crc32("conv_id") % 2 == 0).write.mode("append").parquet(landing)
+    stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
+    t.filter(F.crc32("conv_id") % 2 == 1).write.mode("append").parquet(landing)
+    stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
+    shutil.rmtree(f"{cat.base}/_stream_er_ckpt")
+    with pytest.raises(Exception, match="mismatch"):
+        stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
