@@ -264,7 +264,10 @@ class Catalog:
         spec = {
             "bucket_by": list(bucket_by), "n_buckets": n_buckets,
             "sort_by": list(sort_by or ()),
-            "schema_ddl": df.schema.simpleString()[7:-1],  # strip struct<...>
+            # full typed schema (StructType.jsonValue round-trips column
+            # names needing quoting, char/varchar widths, nullability —
+            # the simpleString DDL form loses all three)
+            "schema_json": df.schema.json(),
         }
         with open(f"{tmp}/_bucket_spec.json", "w") as fh:
             json.dump(spec, fh)
@@ -285,13 +288,26 @@ class Catalog:
         always points at this catalog's files."""
         tbl = self._tbl(name)
         if not self.spark.catalog.tableExists(tbl):
-            cols = ", ".join(f"`{c}`" for c in spec["bucket_by"])
-            sort = (f" SORTED BY ({', '.join(f'`{c}`' for c in spec['sort_by'])})"
+            def q(c: str) -> str:
+                return "`" + c.replace("`", "``") + "`"
+
+            cols = ", ".join(q(c) for c in spec["bucket_by"])
+            sort = (f" SORTED BY ({', '.join(q(c) for c in spec['sort_by'])})"
                     if spec.get("sort_by") else "")
-            ddl = ", ".join(
-                f"`{p.split(':', 1)[0]}` {p.split(':', 1)[1]}"
-                for p in _split_ddl_fields(spec["schema_ddl"])
-            )
+            if "schema_json" in spec:
+                from pyspark.sql.types import StructType
+
+                st = StructType.fromJson(json.loads(spec["schema_json"]))
+                ddl = ", ".join(
+                    f"{q(f.name)} {f.dataType.simpleString()}"
+                    f"{'' if f.nullable else ' NOT NULL'}"
+                    for f in st.fields
+                )
+            else:  # legacy spec (pre-round-4): lossy simpleString DDL
+                ddl = ", ".join(
+                    f"`{p.split(':', 1)[0]}` {p.split(':', 1)[1]}"
+                    for p in _split_ddl_fields(spec["schema_ddl"])
+                )
             self.spark.sql(
                 f"CREATE TABLE {tbl} ({ddl}) USING parquet "
                 f"CLUSTERED BY ({cols}){sort} INTO {spec['n_buckets']} BUCKETS "

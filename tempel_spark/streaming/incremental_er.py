@@ -212,6 +212,24 @@ def stream_incremental_er(
         # set under the same batch id — skipping that would silently
         # drop the new files' mentions, so it fails loudly instead.
         applied = catalog.get_inline_meta(_VOCAB) or {}
+        if applied.get("er_batch_id") is not None and applied.get("er_ckpt") != ckpt:
+            # A marker from a DIFFERENT checkpoint dir means the stream
+            # was re-pointed (new/relocated checkpoint) over kept ER
+            # state: batch 0 would re-read every file and re-fold
+            # already-applied counts — the exact corruption the id/fp
+            # guard below prevents, but silent because the ids never
+            # line up. Fail loudly instead of skipping the guard.
+            raise RuntimeError(
+                "stream checkpoint / ER state mismatch: this catalog's "
+                f"vocabulary was committed under checkpoint "
+                f"{applied.get('er_ckpt')!r} but the stream is running with "
+                f"checkpoint {ckpt!r}. A fresh checkpoint dir replays every "
+                "file and would re-fold already-applied counts into the "
+                "vocabulary. Supported reset: delete the catalog's stream_* "
+                "state AND the stream checkpoint together (they live and "
+                "die as a pair), or point the stream back at its original "
+                "checkpoint dir."
+            )
         if applied.get("er_ckpt") == ckpt and applied.get("er_batch_id") is not None:
             applied_id = applied["er_batch_id"]
             mismatch = RuntimeError(
@@ -294,6 +312,14 @@ def stream_incremental_er(
                 pairs, "norm_a", "norm_b", threshold=threshold, prenormalized=True,
                 **emb_kw,
             )
+            if emb_kw:
+                # the raw embedding arrays must NOT enter the immutable
+                # append-only log — that would bloat the one table that
+                # is never rewritten by dim floats per pair, forever.
+                # The derived cosine + reweighted score columns carry
+                # everything downstream consumers (and the schema-
+                # consistency check below) need.
+                scored = scored.drop("emb_a", "emb_b")
             # append-only pair log: the one ER table that must never
             # be rewritten per ingest. Column drift (an embeddings
             # run appending onto a non-embeddings log or vice versa)

@@ -80,26 +80,34 @@ def _make_sessionizer(gap_seconds: int):
             state.remove()
             return iter([_session_row(conv_id, start_s, last_s, n)])
 
-        out: list[pd.DataFrame] = []
+        # Interval merge over (sorted) turns + the open session: a turn
+        # belongs to a session iff it lies within `gap` of it. A late
+        # (watermark-permitted) turn arriving more than `gap` BEFORE
+        # the open session's start is gap-separated from it, so it
+        # forms (or extends) an EARLIER session that closes immediately
+        # instead of being absorbed — with watermark ≤ gap this branch
+        # never fires (lateness < gap), but a caller configuring
+        # watermark > gap gets correct splits rather than spuriously
+        # merged sessions. Only the LAST (latest) session stays open;
+        # earlier ones can, in principle, still miss a not-yet-arrived
+        # turn between them — the watermark bounds that to the same
+        # degree it bounds any append-mode emission.
+        items = [(t, t, 1) for t in sorted(ts)]
         if state.exists:
-            start_s, last_s, n = state.get
-        else:
-            start_s, last_s, n = None, None, 0
-        for t in sorted(ts):
-            if start_s is None:
-                start_s, last_s, n = t, t, 1
-            elif t - last_s > gap_seconds:
-                out.append(_session_row(conv_id, start_s, last_s, n))
-                start_s, last_s, n = t, t, 1
+            items.append(tuple(state.get))
+            items.sort()
+        if not items:
+            return iter([])
+        merged: list[list[int]] = []
+        for s, e, n in items:
+            if merged and s - merged[-1][1] <= gap_seconds:
+                cur = merged[-1]
+                cur[1] = max(cur[1], e)
+                cur[2] += n
             else:
-                # late (watermark-permitted) turns join the open
-                # session without rewinding its end: the watermark
-                # bounds their lateness, and moving last_s backward
-                # would split sessions spuriously and mis-time the
-                # timeout
-                start_s = min(start_s, t)
-                last_s = max(last_s, t)
-                n += 1
+                merged.append([s, e, n])
+        out = [_session_row(conv_id, s, e, n) for s, e, n in merged[:-1]]
+        start_s, last_s, n = merged[-1]
         state.update((int(start_s), int(last_s), int(n)))
         # timeout must sit strictly past the current watermark
         timeout_ms = max(

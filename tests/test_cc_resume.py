@@ -161,3 +161,30 @@ def test_catalog_swap_recovery(spark, tmp_path):
     os.rename(cat.path("s"), cat.path("s") + ".__tmp_feedface")
     assert cat.exists("s")
     assert cat.read("s").count() == 7
+
+
+def test_bucketed_stage_quoted_columns_survive_restart(spark, tmp_path):
+    """The bucket spec persists the full typed schema (schema.json),
+    so column names that need quoting (spaces, ':', ',', backticks)
+    and non-default nullability re-register correctly after a session
+    restart — the simpleString DDL round-trip broke on all of these
+    (round-3 ADVICE)."""
+    import pyspark.sql.functions as F
+
+    from tempel_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "ckpt"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("key col"),                 # space
+        (F.col("id") * 2).alias("a:b"),               # colon (DDL splitter)
+        F.concat(F.lit("v"), F.col("id")).alias("x,y"),  # comma
+        F.col("id").cast("int").alias("tick`mark"),   # backtick
+    )
+    cat.write_bucketed_stage(df, "b_q", ("key col",), n_buckets=4)
+    # fresh-session simulation: registration gone, files + sidecar stay
+    spark.sql(f"DROP TABLE {cat._tbl('b_q')}")
+    back = cat.read("b_q")
+    assert back.columns == ["key col", "a:b", "x,y", "tick`mark"]
+    assert back.count() == 100
+    assert back.filter(F.col("`tick``mark`") == 7).count() == 1
+    cat.delete("b_q")

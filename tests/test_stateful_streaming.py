@@ -130,3 +130,50 @@ def test_stream_sessionize_gap_and_timeout(spark):
         # exactly-once: no duplicate session rows
         rows = [(r.conv_id, str(r.session_start)) for r in emitted()]
         assert len(rows) == len(set(rows))
+
+
+def test_stream_sessionize_splits_gap_separated_late_turn(spark):
+    """With watermark > gap, a watermark-permitted late turn arriving
+    more than `gap` BEFORE the open session's start must become its own
+    immediately-closed session (round-3 ADVICE) — not be absorbed into
+    the open session via start = min(...)."""
+    import glob
+
+    from tempel_spark.streaming.sessionize import stream_sessionize
+
+    def rows_df(*items):  # (conv_id, ts)
+        return spark.createDataFrame(
+            [(c, i, "user", "text", "", ts) for i, (c, ts) in enumerate(items)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+        ).selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                     "CAST(ts_s AS TIMESTAMP) AS ts")
+
+    with tempfile.TemporaryDirectory(prefix="sess_late_") as tmp:
+        inp, outp, ck = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+        run = lambda: stream_sessionize(spark, f"{inp}/*", outp, ck,
+                                        gap_minutes=30, watermark="3 hours")
+        emitted = lambda: (
+            spark.read.parquet(outp).collect() if glob.glob(f"{outp}/*.parquet") else []
+        )
+
+        # b1: A opens a session at 10:00; ticker T sets max event time
+        rows_df(("A", "2015-06-01 10:00:00"),
+                ("T", "2015-06-01 12:00:00")).write.parquet(f"{inp}/b1")
+        run()
+        assert emitted() == []
+        # b2: late A turn at 09:15 — above the 09:00 watermark, but
+        # 45 min (> gap) before the open session's 10:00 start →
+        # emitted as its own closed session in this same batch
+        rows_df(("A", "2015-06-01 09:15:00")).write.parquet(f"{inp}/b2")
+        run()
+        got = {(r.conv_id, r.session_start.strftime("%H:%M"),
+                r.session_end.strftime("%H:%M"), r.n_turns) for r in emitted()}
+        assert ("A", "09:15", "09:15", 1) in got, got
+        # the 10:00 session is still open (not emitted, start unchanged)
+        assert not any(c == "A" and s == "09:15" and e != "09:15" for c, s, e, _ in got)
+        # b3: ticker far ahead times the 10:00 session out with its
+        # original start — proves it was never rewound to 09:15
+        rows_df(("T", "2015-06-02 12:00:00")).write.parquet(f"{inp}/b3")
+        run()
+        got = {(r.conv_id, r.session_start.strftime("%H:%M"), r.n_turns) for r in emitted()}
+        assert ("A", "10:00", 1) in got, got

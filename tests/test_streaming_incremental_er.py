@@ -260,3 +260,61 @@ def test_wiped_checkpoint_after_multiple_batches_fails_loudly(spark, tmp_path):
     shutil.rmtree(f"{cat.base}/_stream_er_ckpt")
     with pytest.raises(Exception, match="mismatch"):
         stream_incremental_er(spark, landing, cat, snapshots=_SNAPS).awaitTermination()
+
+
+def test_relocated_checkpoint_over_kept_state_fails_loudly(spark, tmp_path):
+    """Round-3 ADVICE (medium): running the same catalog with a NEW
+    checkpoint dir bypassed the replay guard entirely (the marker's
+    er_ckpt never matched), so batch 0 silently re-folded every count.
+    A marker from a different checkpoint must now error out."""
+    import pytest
+
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.streaming.incremental_er import stream_incremental_er
+    from tempel_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=12, n_entities=5, n_snapshots=2)
+    landing = str(tmp_path / "landing")
+    cat = Catalog(spark, str(tmp_path / "er_state"))
+    t.write.mode("append").parquet(landing)
+    stream_incremental_er(
+        spark, landing, cat, snapshots=_SNAPS,
+        checkpoint_dir=str(tmp_path / "ck_one"),
+    ).awaitTermination()
+    with pytest.raises(Exception, match="mismatch"):
+        stream_incremental_er(
+            spark, landing, cat, snapshots=_SNAPS,
+            checkpoint_dir=str(tmp_path / "ck_two"),
+        ).awaitTermination()
+
+
+def test_pair_log_does_not_store_embedding_arrays(spark, tmp_path):
+    """Round-3 ADVICE (low): raw emb_a/emb_b arrays must not be
+    appended into the immutable pair log — only the derived cosine /
+    score columns (storage ∝ dim in the one never-rewritten table)."""
+    from pyspark.sql import functions as F
+
+    from tempel_spark.sources.catalog import Catalog
+    from tempel_spark.plans.pipeline import run_pipeline
+    from tempel_spark.streaming.incremental_er import (
+        read_scored_pairs,
+        stream_incremental_er,
+    )
+    from tempel_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=15, n_entities=6, n_snapshots=2)
+    plain = run_pipeline(spark, t, snapshots=_SNAPS, pair_cap=_CAP)
+    emb = plain["norms"].select(
+        "snapshot_ts", F.col("norm").alias("surface"),
+        F.array(*[(F.pmod(F.xxhash64("norm", F.lit(i)), F.lit(97)) / 97.0)
+                  for i in range(4)]).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    landing = str(tmp_path / "landing")
+    cat = Catalog(spark, str(tmp_path / "er_state"))
+    t.write.mode("append").parquet(landing)
+    stream_incremental_er(
+        spark, landing, cat, snapshots=_SNAPS, pair_cap=_CAP, embeddings=emb
+    ).awaitTermination()
+    cols = set(read_scored_pairs(spark, cat).columns)
+    assert "emb_a" not in cols and "emb_b" not in cols
+    assert "cosine" in cols  # the embedding-mode discriminator survives
