@@ -20,10 +20,13 @@ micro-batch:
   score_pairs (texts only ⇒ identical scores to batch) ──append──▶
       durable scored-pair log
       ▼
-  vocab upsert LAST (union + re-aggregate, atomically republished
-          with the applied-batch marker inline — with an Iceberg
-          catalog this is a MERGE INTO; committing the vocab after
-          the appends is what makes a batch retry safe)
+  vocab upsert LAST (Catalog.upsert_fold: only the delta's hash
+          buckets are rewritten — per-ingest state I/O tracks the
+          delta, never |vocab| — each bucket atomically published
+          with the applied-batch marker; with an Iceberg catalog
+          the same call is a keyed MERGE INTO with a row-level
+          marker guard; committing the vocab after the appends is
+          what makes a batch retry safe)
 
 Every emitted pair has ≥ 1 side that is new to the vocabulary, so no
 pair is ever scored twice across batches, and the accumulated log
@@ -73,26 +76,12 @@ _PAIRS = "stream_scored_pairs"
 _KEYS = "stream_block_keys"
 
 
-def _has_keys(catalog: Catalog) -> bool:
-    import os
-
-    return os.path.exists(catalog.path(_KEYS))
-
-
-def _pair_log_has_data(catalog: Catalog) -> bool:
-    import glob
-    import os
-
-    p = catalog.path(_PAIRS)
-    return os.path.exists(p) and bool(glob.glob(f"{glob.escape(p)}/*.parquet"))
-
-
-def _vocab_keys(spark: SparkSession, catalog: Catalog) -> DataFrame:
+def _vocab_keys(catalog: Catalog) -> DataFrame:
     """The persisted block-key log (append-only, one append per ingest
     frontier). The dedupe undoes replayed-batch appends; n_mentions is
     the arrival-time count, which is benign here — keys drive block
     membership and hot-block caps only, never scores."""
-    return spark.read.parquet(catalog.path(_KEYS)).dropDuplicates(
+    return catalog.read_append(_KEYS).dropDuplicates(
         ["snapshot_ts", "norm", "block_key"]
     )
 
@@ -123,6 +112,18 @@ def _new_pairs(
     fresh×fresh too), plus the bipartite first-token key in both role
     assignments. Hot blocks stay capped on the vocabulary side — the
     same guardrail as batch, applied per ingest."""
+    # frontier-price the vocabulary side: only blocks the FRESH norms
+    # participate in can emit pairs, so restrict the (vocab-scale) key
+    # log to kf's block keys BEFORE the cap window — per-(snapshot,
+    # block_key) capping is unchanged within surviving groups, and the
+    # equi-join below would discard every other group anyway. AQE
+    # broadcasts the (frontier-sized) key set, so the log is scanned,
+    # never shuffled.
+    ka = ka.join(
+        kf.select("snapshot_ts", "block_key").distinct(),
+        ["snapshot_ts", "block_key"],
+        "leftsemi",
+    )
     ka = cap_block_size(ka, ["snapshot_ts", "block_key"], "norm", cap=pair_cap)
     kf = cap_block_size(kf, ["snapshot_ts", "block_key"], "norm", cap=pair_cap)
     j = kf.select(
@@ -162,6 +163,7 @@ def stream_incremental_er(
     lsh_bands: int = 6,
     checkpoint_dir: str | None = None,
     embeddings: DataFrame | None = None,
+    state_parts: int = 64,
 ):
     """Start (or resume) the incremental ER ingest over `input_dir`.
 
@@ -179,20 +181,18 @@ def stream_incremental_er(
     used consistently over the pair log's lifetime: it changes the
     logged schema, and mixing modes would mis-append — enforced by a
     schema check against the existing log before each append.)
+
+    state_parts: hash-bucket count of the vocabulary state table
+    (parquet mode; the Iceberg mode becomes a `bucket(n, norm)`
+    partition transform + keyed MERGE INTO). A delta batch rewrites
+    ONLY the buckets its norms hash into, so per-ingest state I/O
+    scales with the delta's bucket-touch count, never |vocabulary| —
+    size it so |vocab| / state_parts rows fit one comfortable task.
+    Fixed at table creation.
     """
-    if catalog.use_iceberg:
-        # fail BEFORE any work: the vocab commit's inline marker has
-        # no Iceberg implementation yet, and discovering that at the
-        # end of the batch would leave at-least-once appends behind
-        # on every retry
-        raise NotImplementedError(
-            "stream_incremental_er requires the parquet-mode catalog; "
-            "the Iceberg path lacks the atomic applied-batch marker"
-        )
     ckpt = checkpoint_dir or f"{catalog.base}/_stream_er_ckpt"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark_b = batch_df.sparkSession
         bn = _batch_norms(batch_df, snapshots).localCheckpoint(eager=True)
         fp_row = bn.agg(
             F.count(F.lit(1)).alias("n"),
@@ -254,22 +254,33 @@ def stream_incremental_er(
                 # a rewound stream (fresh checkpoint) re-presenting old
                 # ids would re-fold already-applied counts — never safe
                 raise mismatch
-        if catalog.exists(_VOCAB):
-            prev = catalog.read(_VOCAB)
-            # materialize BEFORE the vocab overwrite: both anti-join
-            # and merge read the parquet being republished
-            fresh = bn.join(prev, ["snapshot_ts", "norm"], "left_anti").localCheckpoint(
-                eager=True
-            )
-            merged = (
-                prev.unionByName(bn)
-                .groupBy("snapshot_ts", "norm")
-                .agg(F.sum("n_mentions").alias("n_mentions"))
-                .localCheckpoint(eager=True)
-            )
+        # BUCKET-PRICED newness check: a norm can only collide with
+        # vocab rows in its own hash bucket, so the anti-join reads
+        # exactly the delta's buckets (partition-pruned), never the
+        # full state table. Iceberg mode has no local bucket dirs to
+        # prune by hand — the bucket(n, norm) partition transform lets
+        # the engine prune the same way on the full read.
+        prev_touched = None
+        if catalog.use_iceberg:
+            if catalog.exists(_VOCAB):
+                prev_touched = catalog.read(_VOCAB)
+        else:
+            from tempel_spark.sources.catalog import upsert_bucket_col
+
+            touched = [
+                r["_b"]
+                for r in bn.select(
+                    upsert_bucket_col(("snapshot_ts", "norm"), state_parts).alias("_b")
+                ).distinct().collect()
+            ]
+            prev_touched = catalog.read_upsert_buckets(_VOCAB, touched)
+        if prev_touched is not None:
+            # materialize BEFORE the vocab upsert swaps bucket dirs
+            fresh = bn.join(
+                prev_touched, ["snapshot_ts", "norm"], "left_anti"
+            ).localCheckpoint(eager=True)
         else:
             fresh = bn  # already an eager checkpoint (fingerprint above)
-            merged = fresh
         n_new = fresh.count()
         # WRITE ORDER = crash safety. foreachBatch retries a failed
         # batch (offsets commit only on success), so: pair + key
@@ -288,8 +299,36 @@ def stream_incremental_er(
             kf = build_block_keys(fresh, lsh_hashes, lsh_bands).localCheckpoint(
                 eager=True
             )
-            ka = kf.unionByName(_vocab_keys(spark_b, catalog)) if _has_keys(catalog) else kf
-            pairs = _new_pairs(kf, ka, fresh, merged, pair_cap)
+            ka = (
+                kf.unionByName(_vocab_keys(catalog))
+                if catalog.append_has_data(_KEYS)
+                else kf
+            )
+            # bipartite vocabulary side: the first-token pairing only
+            # links norms sharing a first token with the frontier, so
+            # restrict the (vocab-scale) table to those tokens BEFORE
+            # merging counts — within surviving tokens the merged
+            # counts equal the full prev∪delta fold (a norm's prev and
+            # delta rows share its fkey, so they survive or fall
+            # together), and the full-vocab groupBy shuffle the old
+            # code paid per ingest disappears.
+            fk = F.split(F.col("norm"), " ").getItem(0)
+            fks = fresh.select("snapshot_ts", fk.alias("_fk")).distinct()
+
+            def _hot(df: DataFrame) -> DataFrame:
+                return (
+                    df.withColumn("_fk", fk)
+                    .join(fks, ["snapshot_ts", "_fk"], "leftsemi")
+                    .drop("_fk")
+                )
+
+            hot = _hot(bn)
+            if catalog.exists(_VOCAB):
+                hot = hot.unionByName(_hot(catalog.read(_VOCAB)))
+            merged_hot = hot.groupBy("snapshot_ts", "norm").agg(
+                F.sum("n_mentions").alias("n_mentions")
+            )
+            pairs = _new_pairs(kf, ka, fresh, merged_hot, pair_cap)
             emb_kw: dict = {}
             if embeddings is not None:
                 # same defensive dedupe + left joins as the batch
@@ -324,10 +363,8 @@ def stream_incremental_er(
             # be rewritten per ingest. Column drift (an embeddings
             # run appending onto a non-embeddings log or vice versa)
             # would silently mix incomparable score scales — refuse.
-            if _pair_log_has_data(catalog):
-                existing = {
-                    f.name for f in spark_b.read.parquet(catalog.path(_PAIRS)).schema
-                }
+            if catalog.append_has_data(_PAIRS):
+                existing = {f.name for f in catalog.read_append(_PAIRS).schema}
                 now = set(scored.columns)
                 if existing != now:
                     raise RuntimeError(
@@ -336,14 +373,22 @@ def stream_incremental_er(
                         f"{sorted(now)} — the embeddings option must be used "
                         "consistently over the log's lifetime"
                     )
-            scored.write.mode("append").parquet(catalog.path(_PAIRS))
-            kf.write.mode("append").parquet(catalog.path(_KEYS))
-        catalog.write(
-            merged,
+            catalog.append(scored, _PAIRS)
+            catalog.append(kf, _KEYS)
+        # vocab upsert LAST: only the delta's hash buckets are
+        # rewritten (Iceberg: MERGE INTO with a row-level marker
+        # guard); the applied-batch marker commits with/after the
+        # folded state, and per-bucket (or per-row) markers make a
+        # crashed batch's retry idempotent
+        catalog.upsert_fold(
+            bn,
             _VOCAB,
-            inline_meta={
+            key_cols=("snapshot_ts", "norm"),
+            sum_cols=("n_mentions",),
+            marker={
                 "er_ckpt": ckpt, "er_batch_id": batch_id, "er_batch_fp": batch_fp,
             },
+            n_parts=state_parts,
         )
         catalog.log_metrics(
             f"stream_er_batch_{batch_id}", {"n_new_norms": n_new, "paired": n_new > 0}
@@ -369,12 +414,12 @@ def read_scored_pairs(spark: SparkSession, catalog: Catalog) -> DataFrame:
     # a batch with fresh norms but zero candidate pairs creates the
     # directory with no data files — that is still "no pairs yet"
     # (spark.read.parquet on it would fail schema inference)
-    if not _pair_log_has_data(catalog):
+    if not catalog.append_has_data(_PAIRS):
         raise FileNotFoundError(
             f"pair log {catalog.path(_PAIRS)} has no pairs yet — run "
             "stream_incremental_er over at least one pair-producing batch first"
         )
-    return spark.read.parquet(catalog.path(_PAIRS)).dropDuplicates(
+    return catalog.read_append(_PAIRS).dropDuplicates(
         ["snapshot_ts", "id_a", "id_b"]
     )
 
