@@ -62,8 +62,8 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _local_contract(e: DataFrame, parts: int) -> DataFrame:
-    """Partition-local union-find contraction — one Arrow pass that
-    collapses every partition's edge subset into star edges
+    """Partition-local connected-components contraction — one Arrow
+    pass that collapses every partition's edge subset into star edges
     (member → set-minimum).
 
     The union of the per-partition stars has exactly the connected
@@ -77,41 +77,54 @@ def _local_contract(e: DataFrame, parts: int) -> DataFrame:
     this is the optimization Kiveris et al. §6 report as "local
     contraction" for MapReduce CC.
 
-    Memory bound: a partition holds |E|/parts edges → the union-find
-    dict holds ≤ 2·|E|/parts entries; `parts` is sized to the edge
+    Memory bound: a partition holds |E|/parts edges → the label
+    arrays hold ≤ 2·|E|/parts entries; `parts` is sized to the edge
     list by the caller (connected_components.shuffle_partitions), so
-    per-task state stays bounded at any corpus size. The Python loop
-    touches EDGES (vocabulary-scale), never mention occurrences.
+    per-task state stays bounded at any corpus size. The pass touches
+    EDGES (vocabulary-scale), never mention occurrences.
     """
+    import numpy as np
     import pandas as pd
 
     def contract(batches):
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for pdf in batches:
-            for a, b in zip(pdf["a"].values, pdf["b"].values):
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # union toward the SMALLER id: roots stay set-minima
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-        rows = [(n, find(n)) for n in parent]
-        yield pd.DataFrame(
-            [(n, r) for n, r in rows if n != r], columns=["a", "b"]
+        # Vectorized Shiloach–Vishkin-style label propagation instead
+        # of a per-edge Python dict loop: factorize(sort=True) maps
+        # ids to their SORT ranks (so numeric label minima == the
+        # lexicographic id minima the dict version produced), then
+        # alternate min-hook + full pointer compression until a round
+        # changes nothing — O(log n) rounds, each a C-speed pass.
+        # This is the single-task endgame's serial cost on the driver-
+        # barrier path, so constant factors here are serial-fraction
+        # wins for the strong-scaling ratio (round-3 VERDICT item 5).
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        a = pd.concat([f["a"] for f in frames], ignore_index=True)
+        b = pd.concat([f["b"] for f in frames], ignore_index=True)
+        codes, uniques = pd.factorize(
+            pd.concat([a, b], ignore_index=True), sort=True
         )
+        n = len(uniques)
+        n_edges = len(a)
+        ur = codes[:n_edges].astype(np.int64, copy=False)
+        vr = codes[n_edges:].astype(np.int64, copy=False)
+        label = np.arange(n, dtype=np.int64)
+        while True:
+            lu, lv = label[ur], label[vr]
+            mn = np.minimum(lu, lv)
+            mx = np.maximum(lu, lv)
+            before = label.copy()
+            np.minimum.at(label, mx, mn)  # hook larger label to smaller
+            while True:  # pointer jumping to a flat forest
+                nl = label[label]
+                if np.array_equal(nl, label):
+                    break
+                label = nl
+            if np.array_equal(label, before):
+                break
+        ids = np.asarray(uniques)
+        mask = label != np.arange(n)
+        yield pd.DataFrame({"a": ids[mask], "b": ids[label[mask]]})
 
     # hash-partition by source node so a node's edges co-locate (the
     # contraction is correct under ANY partitioning; co-location just
@@ -193,7 +206,11 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-    e = e.localCheckpoint(eager=True)
+    # LAZY checkpoint: the signature aggregate right below is the
+    # first action, so checkpoint materialization and edge count ride
+    # ONE job instead of two — pre-loop driver-serial cost halved
+    # (round-3 VERDICT item 5: batch the signature aggregates)
+    e = e.localCheckpoint(eager=False)
     prev_sig = _signature(e)
     # Adaptive contraction (the signature above already counted the
     # edges, so sizing is free):
@@ -234,7 +251,8 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
             int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             prev_sig[0] // 2_000_000 + 1,
         )
-        e = _local_contract(e, parts).localCheckpoint(eager=True)
+        # lazy again: the post-contraction signature materializes it
+        e = _local_contract(e, parts).localCheckpoint(eager=False)
         prev_sig = _signature(e)
     history: list[dict] = []
     converged = False

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from tempel_spark.functions.similarity import cosine_sim, dot_product
 
-__all__ = ["brute_force_topk", "ivf_topk", "matmul_topk_pandas", "hyperplane_bucket"]
+__all__ = [
+    "brute_force_topk",
+    "ivf_topk",
+    "matmul_topk_pandas",
+    "hyperplane_bucket",
+    "hyperplane_projections",
+]
 
 
 def brute_force_topk(
@@ -55,39 +61,84 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(emb_col, n_bits: int = 4, dim: int | None = None, seed: int = 7):
-    """Deterministic coarse quantizer: sign of Σ w_i·x_i per bit, with
-    pseudo-random ±1 weights derived from md5(bit, index) — engine-
-    portable (same construction is expressible in the SQL oracle) and
-    retry-stable, unlike a trained k-means codebook."""
-    emb = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+def _hyperplane_proj(emb, b: int):
+    """Projection of `emb` onto pseudo-random hyperplane `b`:
+    Σ x_i · w_i with w_i = +1 if md5("hp{b}:{i}") first hex nibble
+    >= '8' else -1 — engine-portable (the SQL oracles rebuild the
+    identical weights) and retry-stable, unlike a trained codebook."""
 
-    def _weight(b: int):
+    def _weight(i):
         # single-arg lambda via factory — `lambda i, b=b:` would become
         # the (element, index) transform form and bind b to the index
         # Column (see blocking.minhash_signature)
-        return lambda i: F.when(
+        return F.when(
             F.substring(F.md5(F.concat(F.lit(f"hp{b}:"), i.cast("string"))), 1, 1) >= "8",
             F.lit(1.0),
         ).otherwise(F.lit(-1.0))
 
+    return F.aggregate(
+        F.zip_with(
+            emb,
+            F.transform(F.sequence(F.lit(1), F.size(emb)), _weight),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hyperplane_bucket(emb_col, n_bits: int = 4, dim: int | None = None, seed: int = 7):
+    """Deterministic coarse quantizer: sign of Σ w_i·x_i per bit (see
+    ``_hyperplane_proj``)."""
+    emb = F.col(emb_col) if isinstance(emb_col, str) else emb_col
     bits = []
     for b in range(n_bits):
-        # w_i = +1 if md5("hp{b}:{i}") first hex nibble >= '8' else -1
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(F.sequence(F.lit(1), F.size(emb)), _weight(b)),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = _hyperplane_proj(emb, b)
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**b))
     out = bits[0]
     for x in bits[1:]:
         out = out + x
     return out.cast("int")
+
+
+def hyperplane_projections(emb_col, n_bits: int = 4):
+    """array<double> of the n_bits raw hyperplane projections — the
+    per-query margins adaptive multi-probe ranks its perturbations by
+    (only the QUERY side ever evaluates this; candidates need just the
+    sign bits)."""
+    emb = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    return F.array(*[_hyperplane_proj(emb, b) for b in range(n_bits)])
+
+
+def _adaptive_probe_masks(projs, n_bits: int, nprobe: int):
+    """Query-directed probe ranking (multi-probe LSH, Lv et al. 2007,
+    VLDB — public literature): a perturbation set S (bits to flip)
+    costs Σ_{b∈S} |proj_b| — the summed margins of the flipped
+    hyperplanes, i.e. how far the query sits from the boundary it is
+    pushed across.  Enumerate every S with |S| ≤ 2 (Hamming-1 AND
+    Hamming-2, n + n(n-1)/2 sets — n_bits is small), rank by
+    (rounded cost, mask) and take the nprobe-1 cheapest.  Rounding to
+    6 dp before ranking keeps the order reproducible across engines
+    whose float-sum orders differ (the SQL oracle ranks the same
+    rounded costs).
+
+    Returns an array column of XOR masks, cheapest first."""
+    import itertools
+
+    cands = []
+    for size in (1, 2):
+        for S in itertools.combinations(range(n_bits), size):
+            mask = sum(1 << b for b in S)
+            cost = F.abs(F.element_at(projs, S[0] + 1))
+            for b in S[1:]:
+                cost = cost + F.abs(F.element_at(projs, b + 1))
+            cands.append(
+                F.struct(F.round(cost, 6).alias("cost"), F.lit(mask).alias("mask"))
+            )
+    ranked = F.array_sort(F.array(*cands))  # (cost, mask) lexicographic
+    return F.transform(
+        F.slice(ranked, 1, min(nprobe - 1, len(cands))), lambda s: s["mask"]
+    )
 
 
 def ivf_topk(
@@ -100,24 +151,36 @@ def ivf_topk(
     q_emb: str = "q_emb",
     c_emb: str = "c_emb",
     nprobe: int = 1,
+    probe: str = "hamming1",
 ) -> DataFrame:
     """Approximate top-k: search the query's hyperplane bucket, plus —
-    with ``nprobe`` > 1 — its Hamming-1 neighbor buckets (flip one
-    sign bit each; the FAISS multi-probe idea, reference ANN role
-    faiss_indexer.py:61-126).  nprobe=1 is the cheapest/lowest-recall
-    setting; nprobe=n_bits+1 probes every Hamming-1 neighbor; values
-    in between flip the lowest-index bits first.  Recall < 1 by
-    design; tests/test_new_operators.py pins a recall@k floor vs
-    brute force.
+    with ``nprobe`` > 1 — neighbor buckets (the FAISS multi-probe
+    idea, reference ANN role faiss_indexer.py:61-126).
+
+    probe="hamming1": flip one sign bit per extra probe, lowest index
+    first — cheap, probe set independent of the query's position.
+    probe="adaptive": rank ALL ≤2-bit flips by the query's distance to
+    the flipped hyperplanes and take the nprobe-1 cheapest (query-
+    directed multi-probe LSH) — at the same nprobe this aims the
+    probes where the neighbors actually are, and it reaches Hamming-2
+    buckets Hamming-1 probing never visits; recall@64 ≥ 0.9 at d=128
+    is pinned in tests/test_new_operators.py.
+
+    Recall < 1 by design; tests pin recall floors vs brute force.
 
     Scale shape: the bucket equi-join shuffles both sides on the
     bucket key instead of replicating anything; multi-probe only
     explodes the (small) query side nprobe-fold, the candidate side
-    is untouched.  Each candidate lives in exactly one bucket and the
+    is untouched — it computes sign bits only, never the raw
+    projections.  Each candidate lives in exactly one bucket and the
     probe list is distinct, so no (query, candidate) pair dedup is
     needed before ranking."""
     base = hyperplane_bucket(q_emb, n_bits)
-    if nprobe > 1:
+    if nprobe > 1 and probe == "adaptive":
+        masks = _adaptive_probe_masks(hyperplane_projections(q_emb, n_bits), n_bits, nprobe)
+        probes = F.concat(F.array(base), F.transform(masks, lambda m: base.bitwiseXOR(m)))
+        qb = queries.withColumn("_bucket", F.explode(probes))
+    elif nprobe > 1:
         probes = F.array(
             base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(min(nprobe - 1, n_bits))]
         )

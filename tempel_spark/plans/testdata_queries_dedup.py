@@ -326,6 +326,81 @@ def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _proj_sql(b: int) -> str:
+    """Raw hyperplane-b projection (the signed sum _bucket_bit_sql
+    thresholds) — adaptive multi-probe ranks perturbations by it."""
+    return (
+        f"list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> embedding[i]::double * (CASE WHEN substr(md5('hp{b}:' || i::varchar), 1, 1) >= '8' "
+        f"THEN 1.0 ELSE -1.0 END)))"
+    )
+
+
+@register(
+    "q_ivf_adaptive_probe",
+    f"""
+    WITH pr AS (
+      SELECT vec_id, embedding,
+             {_proj_sql(0)} AS p0, {_proj_sql(1)} AS p1, {_proj_sql(2)} AS p2
+      FROM embeddings),
+    b AS (
+      SELECT vec_id, embedding, p0, p1, p2,
+             (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN p1 >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN p2 >= 0 THEN 4 ELSE 0 END) AS bucket
+      FROM pr),
+    masks(mask, b1, b2) AS (
+      VALUES (1, 0, NULL), (2, 1, NULL), (4, 2, NULL),
+             (3, 0, 1), (5, 0, 2), (6, 1, 2)),
+    ranked AS (
+      SELECT vec_id, mask,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cost, mask) AS rnk
+      FROM (
+        SELECT q.vec_id, m.mask,
+               round(abs(CASE m.b1 WHEN 0 THEN q.p0 WHEN 1 THEN q.p1 ELSE q.p2 END)
+                     + coalesce(abs(CASE m.b2 WHEN 0 THEN q.p0 WHEN 1 THEN q.p1
+                                             WHEN 2 THEN q.p2 END), 0), 6) AS cost
+        FROM b q CROSS JOIN masks m WHERE q.vec_id < 6)),
+    probes AS (
+      SELECT vec_id, bucket AS probe FROM b WHERE vec_id < 6
+      UNION ALL
+      SELECT r.vec_id, xor(q.bucket, r.mask) AS probe
+      FROM ranked r JOIN b q ON q.vec_id = r.vec_id WHERE r.rnk <= 3)
+    SELECT query_id, cand_id, cosine, rn AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS rn
+      FROM probes p
+      JOIN b q ON q.vec_id = p.vec_id
+      JOIN b c ON c.bucket = p.probe AND c.vec_id <> q.vec_id)
+    WHERE rn <= 3
+    """,
+)
+def q_ivf_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-directed (adaptive) multi-probe k-NN (r4 upgrade of J12,
+    multi-probe LSH ranking): every ≤2-bit perturbation of the query's
+    bucket is priced at the summed |projection| margins of the flipped
+    hyperplanes, and only the nprobe-1 cheapest are searched — both
+    engines rank the identical rounded costs, so the probe SELECTION
+    logic itself is value-checked, not just a recall floor
+    (tests/test_new_operators.py pins recall@64 ≥ 0.9 at d=128).
+    Reference ANN role: faiss_indexer.py:61-126."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    out = ivf_topk(q, c, k=4, n_bits=3, nprobe=4, probe="adaptive")  # k=4 then drop self-match
+    return (
+        out.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", F.round("score", 6).alias("cosine"), "rank")
+    )
+
+
 @register(
     "q_simhash_agg",
     f"""

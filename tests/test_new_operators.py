@@ -363,6 +363,42 @@ def test_ivf_multiprobe_recall_floor(spark):
     assert r5 > r1
 
 
+def test_ivf_adaptive_probe_recall_high_dim(spark):
+    """r3 VERDICT #6: query-directed (adaptive) multi-probe at
+    realistic dimensionality — on a clustered 128-d corpus, ranking
+    ≤2-bit perturbations by the query's hyperplane margins must reach
+    recall@64 ≥ 0.9 vs brute force, and beat blind Hamming-1 probing
+    at the SAME probe budget (the probes go where the neighbors are,
+    and Hamming-2 buckets become reachable)."""
+    import random
+
+    from tempel_spark.operators.topk import brute_force_topk, ivf_topk, recall_at_k
+
+    rnd = random.Random(11)
+    # 100 members per cluster so a query's exact top-64 is intra-
+    # cluster (an LSH probe structure can find it); 64 buckets keep
+    # the per-probe scan at ~1.5% of the corpus
+    dim, n_cand, n_query, n_clusters = 128, 2000, 25, 20
+    centers = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+
+    def pt(c):
+        return [x + rnd.gauss(0, 0.3) for x in centers[c]]
+
+    cdf = spark.createDataFrame(
+        [(i, pt(i % n_clusters)) for i in range(n_cand)], "cand_id long, c_emb array<double>"
+    ).cache()
+    qdf = spark.createDataFrame(
+        [(i, pt(i % n_clusters)) for i in range(n_query)], "query_id long, q_emb array<double>"
+    ).cache()
+    exact = brute_force_topk(qdf, cdf, k=64).cache()
+    r_blind = recall_at_k(ivf_topk(qdf, cdf, k=64, n_bits=6, nprobe=12), exact)
+    r_adapt = recall_at_k(
+        ivf_topk(qdf, cdf, k=64, n_bits=6, nprobe=12, probe="adaptive"), exact
+    )
+    assert r_adapt >= 0.9, (r_adapt, r_blind)
+    assert r_adapt > r_blind, (r_adapt, r_blind)
+
+
 def test_simhash_agg_parity_and_edge_rows(spark):
     """simhash64_agg (explode → native hash agg, the scale form) is
     bit-identical to the expression fold, and shingle-less rows
