@@ -19,11 +19,20 @@ against live renderings: {{convert|5|km|mi}} → "5 kilometres
 (3.1 mi)", {{convert|100|km|mi|abbr=on}} → "100 km (62 mi)",
 {{convert|200|m|ft}} → "200 metres (660 ft)", {{convert|42.195|km|mi}}
 → "42.195 kilometres (26.219 mi)", {{convert|37|C|F}} → "37 °C
-(99 °F)".  Known divergences from the live template, documented:
-no thousands separators, and unknown units/options degrade to
-deletion — exactly the reference's own offline behavior
-(convert_through_api=False leaves the expansion empty,
-cleaning.py:103-104).
+(99 °F)", {{convert|1609.344|m|ft}} → "1,609.344 metres
+(5,280.00 ft)", {{convert|15|ft|m|spell=in}} → "fifteen feet
+(4.6 m)", {{convert|10|mi|km|adj=mid|-long}} → "10-mile-long
+(16 km)".  Number rendering matches the template's defaults:
+thousands separators on 4+-digit integer parts (``comma=off``
+disables), ``spell=in/In/on/On`` spells integer values in words
+(input only / input capitalized / both sides / both sides with the
+first word capitalized).
+Known divergences from the live template, documented: spelled
+hundreds omit the optional "and" ("one hundred one"), combination
+default targets (e.g. nmi → "km mi") collapse to the first unit,
+and unknown units/options degrade to deletion — exactly the
+reference's own offline behavior (convert_through_api=False leaves
+the expansion empty, cleaning.py:103-104).
 """
 
 from __future__ import annotations
@@ -75,6 +84,26 @@ _unit(["ft/s"], "foot per second", "feet per second", "ft/s", "S", 0.3048, "m/s"
 _unit(["C", "°C"], "degree Celsius", "degrees Celsius", "°C", "T", 1.0, "F")
 _unit(["F", "°F"], "degree Fahrenheit", "degrees Fahrenheit", "°F", "T", 5 / 9, "C")
 _unit(["K"], "kelvin", "kelvins", "K", "T", 1.0, "C")
+# round-4 tranche: the next most-frequent convert units in real dumps
+# (ships/aviation nmi+kn, UK body weight st, engineering power, fine
+# lengths, volumes) — VERDICT r3 Next #7
+_unit(["nmi"], "nautical mile", "nautical miles", "nmi", "L", 1852.0, "km")
+_unit(["um", "µm", "μm"], "micrometre", "micrometres", "μm", "L", 1e-6, "in")
+_unit(["nm"], "nanometre", "nanometres", "nm", "L", 1e-9, "in")
+_unit(["st"], "stone", "stone", "st", "M", 6.35029318, "kg")
+_unit(["ST"], "short ton", "short tons", "ST", "M", 907.18474, "t")
+_unit(["mg"], "milligram", "milligrams", "mg", "M", 1e-6, "g")
+_unit(["kn", "knot"], "knot", "knots", "kn", "S", 1852.0 / 3600.0, "km/h")
+_unit(["m3"], "cubic metre", "cubic metres", "m3", "V", 1.0, "cuft")
+_unit(["cuft", "ft3"], "cubic foot", "cubic feet", "cu ft", "V", 0.028316846592, "m3")
+_unit(["ml", "mL"], "millilitre", "millilitres", "ml", "V", 1e-6, "USfloz")
+_unit(["USfloz"], "US fluid ounce", "US fluid ounces", "US fl oz", "V", 29.5735295625e-6, "ml")
+_unit(["impfloz"], "imperial fluid ounce", "imperial fluid ounces", "imp fl oz", "V", 28.4130625e-6, "ml")
+_unit(["W"], "watt", "watts", "W", "P", 1.0, "hp")
+_unit(["kW"], "kilowatt", "kilowatts", "kW", "P", 1000.0, "hp")
+_unit(["MW"], "megawatt", "megawatts", "MW", "P", 1e6, "hp")
+_unit(["hp"], "horsepower", "horsepower", "hp", "P", 745.69987158227022, "kW")
+_unit(["PS"], "metric horsepower", "metric horsepower", "PS", "P", 735.49875, "kW")
 
 _TEMP_TO_K = {"C": (1.0, 273.15), "F": (5 / 9, 273.15 - 32 * 5 / 9), "K": (1.0, 0.0)}
 
@@ -125,6 +154,52 @@ def _fmt(value: float, decimals: int) -> str:
     return str(int(round(value, decimals)))
 
 
+def _group(numstr: str) -> str:
+    """Thousands separators, the template's default number format:
+    commas every 3 digits once the integer part has ≥ 4 digits."""
+    neg = numstr.lstrip().startswith("-")
+    s = numstr.strip().lstrip("+-")
+    intp, dot, frac = s.partition(".")
+    if len(intp) >= 4 and intp.isdigit():
+        intp = f"{int(intp):,}"
+    return ("-" if neg else "") + intp + ((dot + frac) if dot else "")
+
+
+_SPELL_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven",
+    "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+    "fifteen", "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_SPELL_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty",
+               "seventy", "eighty", "ninety"]
+
+
+def _spell_int(n: int) -> str:
+    if n < 20:
+        return _SPELL_ONES[n]
+    if n < 100:
+        t, r = divmod(n, 10)
+        return _SPELL_TENS[t] + (f"-{_SPELL_ONES[r]}" if r else "")
+    if n < 1000:
+        h, r = divmod(n, 100)
+        return f"{_SPELL_ONES[h]} hundred" + (f" {_spell_int(r)}" if r else "")
+    for div, word in ((10**6, "million"), (10**3, "thousand")):
+        if n >= div:
+            hi, r = divmod(n, div)
+            return f"{_spell_int(hi)} {word}" + (f" {_spell_int(r)}" if r else "")
+    raise AssertionError  # unreachable below 10**9
+
+
+def _spell_number(numstr: str) -> str | None:
+    """Spell a non-negative integer value in words (spell= option), or
+    None when the value is not spellable (decimal, negative, huge) —
+    the caller falls back to digits then."""
+    s = numstr.strip().lstrip("+")
+    if not re.fullmatch(r"\d+", s) or int(s) >= 10**9:
+        return None
+    return _spell_int(int(s))
+
+
 def _parse_number(s: str) -> float | None:
     try:
         return float(s.replace(",", ""))
@@ -152,8 +227,9 @@ def expand_convert(args: str) -> str:
     """Expand the argument string of one ``{{convert|...}}`` to plain
     text, or '' when the form is outside the offline dictionary (the
     reference's no-API behavior).  Supports single values and
-    to/–-ranges, abbr=on/off, adj=on, a trailing bare integer as
-    explicit output decimals, and sigfig=N; other key=val options are
+    to/–-ranges, abbr=on/off, adj=on, adj=mid with its mid-word,
+    spell=in/In/on/On, comma=off, a trailing bare integer as explicit
+    output decimals, and sigfig=N; other key=val options are
     ignored."""
     parts = [p.strip() for p in args.split("|") if p.strip() != ""]
     opts: dict[str, str] = {}
@@ -183,11 +259,23 @@ def expand_convert(args: str) -> str:
     if not values or not units or units[0] not in _U:
         return ""
     src = units[0]
+    # adj=mid carries an extra positional mid-word after the units
+    # ({{convert|10|mi|km|adj=mid|-long}} → "10-mile-long (16 km)");
+    # peel it off before target validation so it is never mistaken
+    # for an unknown target unit
+    midword = ""
+    if opts.get("adj", "").strip().lower() == "mid":
+        if len(units) >= 3:
+            midword = units[2]
+            units = units[:2]
+        elif len(units) == 2 and units[1] not in _U:
+            midword = units[1]
+            units = units[:1]
     if len(units) > 1:
         # an explicitly requested target OUTSIDE the dictionary must
         # delete (reference no-API behavior), never silently become
         # the default target — that would fabricate a conversion the
-        # article never stated ('10|km|nmi' must not render as mi)
+        # article never stated ('10|km|pc' must not render as mi)
         if units[1] not in _U:
             return ""
         dst = units[1]
@@ -200,32 +288,55 @@ def expand_convert(args: str) -> str:
     if "sigfig" in opts and re.fullmatch(r"\d+", opts["sigfig"]):
         sigfig = int(opts["sigfig"])
     abbr = opts.get("abbr", "")
-    adj = opts.get("adj", "") == "on"
+    adj_opt = opts.get("adj", "").strip().lower()
+    adj = adj_opt in ("on", "mid")
+    spell = opts.get("spell", "").strip()
+    comma_off = opts.get("comma", "").strip().lower() == "off"
 
+    def render_num(numstr: str, spellable: bool) -> str:
+        if spellable:
+            w = _spell_number(numstr)
+            if w is not None:
+                return w
+        return numstr if comma_off else _group(numstr)
+
+    spell_in = spell in ("in", "In", "on", "On")
+    spell_out = spell in ("on", "On")
     in_strs, out_strs = [], []
+    out_spelled = spell_out
     for vs in values:
         v = _parse_number(vs)
         conv, f = _convert_value(v, src, dst)
         dec = _round_decimal_pos(conv, f, vs, explicit, sigfig)
-        in_strs.append(vs)
-        out_strs.append(_fmt(conv, dec))
+        in_strs.append(render_num(vs, spell_in))
+        o = _fmt(conv, dec)
+        out_strs.append(render_num(o, spell_out))
+        out_spelled = out_spelled and _spell_number(o) is not None
 
     j = {"to": " to ", "and": " and ", "by": " by "}.get(joiner, "–")
     lhs_val = j.join(in_strs) if joiner else "–".join(in_strs) if len(in_strs) > 1 else in_strs[0]
     rhs_val = (j if joiner else "–").join(out_strs) if len(out_strs) > 1 else out_strs[0]
+    if spell in ("In", "On"):
+        lhs_val = lhs_val[:1].upper() + lhs_val[1:]
 
     s_sing, s_plur, s_sym, _, _, _ = _U[src]
-    d_sym = _U[dst][2]
-    d_plur = _U[dst][1]
+    d_sing, d_plur, d_sym = _U[dst][0], _U[dst][1], _U[dst][2]
     last = _parse_number(values[-1])
-    # temperatures render with symbols by default (live-template behavior)
+    # temperatures render with symbols by default (live-template
+    # behavior), and an explicit abbr=on wins over adjectival
+    # hyphenation — symbol renderings are never hyphenated
     if abbr == "on" or (_U[src][3] == "T" and abbr != "off"):
         lhs_unit = s_sym
     elif adj:
-        return f"{lhs_val}-{s_sing} ({rhs_val} {d_sym})"
+        return f"{lhs_val}-{s_sing}{midword} ({rhs_val} {d_sym})"
     else:
         lhs_unit = s_sing if len(values) == 1 and last == 1 else s_plur
-    rhs_unit = d_plur if abbr == "off" else d_sym
+    # a spelled output value reads with the unit NAME, never the symbol
+    # ("sixteen kilometres", not "sixteen km")
+    if out_spelled:
+        rhs_unit = d_sing if len(out_strs) == 1 and out_strs[-1] == "one" else d_plur
+    else:
+        rhs_unit = d_plur if abbr == "off" else d_sym
     return f"{lhs_val} {lhs_unit} ({rhs_val} {rhs_unit})"
 
 

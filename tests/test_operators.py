@@ -234,8 +234,34 @@ def test_convert_template_expansion():
     assert expand_convert("5|km|kg") == ""
     assert expand_convert("5|furlongs") == ""
     # an unknown REQUESTED target also deletes — never silently
-    # substitutes the default target ('10|km|nmi' must not render mi)
-    assert expand_convert("10|km|nmi") == ""
+    # substitutes the default target ('10|km|pc' must not render mi)
+    assert expand_convert("10|km|pc") == ""
+
+    # round-4 forms (VERDICT r3 Next #7) — live-template renderings:
+    # thousands separators on 4+-digit integer parts, both sides
+    assert expand_convert("1609.344|m|ft") == "1,609.344 metres (5,280.00 ft)"
+    assert expand_convert("10000|m|ft") == "10,000 metres (33,000 ft)"
+    assert expand_convert("10000|m|ft|comma=off") == "10000 metres (33000 ft)"
+    # spell= spells integer values in words (In/On capitalize; a
+    # spelled output takes the unit name, never the symbol)
+    assert expand_convert("15|ft|m|spell=in") == "fifteen feet (4.6 m)"
+    assert expand_convert("15|ft|m|spell=In") == "Fifteen feet (4.6 m)"
+    assert expand_convert("10|mi|km|spell=on") == "ten miles (sixteen kilometres)"
+    assert expand_convert("121|ft|m|spell=in") == "one hundred twenty-one feet (37 m)"
+    # adj=mid splices its mid-word into the adjectival form, with or
+    # without an explicit target unit
+    assert expand_convert("10|mi|km|adj=mid|-long") == "10-mile-long (16 km)"
+    assert expand_convert("10|mi|adj=mid|-long") == "10-mile-long (16 km)"
+    # new unit tranche: nautical, knots, stone, short ton, power, fine
+    # lengths, volumes
+    assert expand_convert("20|kn|km/h") == "20 knots (37 km/h)"
+    assert expand_convert("12|st|kg") == "12 stone (76 kg)"
+    assert expand_convert("100|hp|kW") == "100 horsepower (75 kW)"
+    assert expand_convert("2500|kW|hp") == "2,500 kilowatts (3,400 hp)"
+    assert expand_convert("1852|m|nmi") == "1,852 metres (1.000 nmi)"
+    assert expand_convert("5|ST|t") == "5 short tons (4.5 t)"
+    assert expand_convert("5|ml|USfloz") == "5 millilitres (0.17 US fl oz)"
+    assert expand_convert("250|um|in") == "250 micrometres (0.0098 in)"
 
     # mid-sentence expansion through the full cleaner, nested in nowrap
     raw = ("The {{nowrap|{{convert|42.195|km|mi}}}} marathon at "
