@@ -45,7 +45,15 @@ __all__ = [
     "cap_block_size",
     "candidate_pairs",
     "sorted_neighborhood_pairs",
+    "SN_WINDOW",
 ]
+
+# The sorted-neighborhood window BOTH the batch pipeline and the
+# incremental streaming path use. They must agree: the stream's
+# insert-time SN pairs are a provable superset of the batch SN pairs
+# only at the same window (incremental_er.py module contract), so a
+# one-sided tweak would silently break batch/stream parity.
+SN_WINDOW = 3
 
 
 def norm_key(col: Column | str) -> Column:

@@ -283,7 +283,31 @@ def run_pipeline(
             "n_mentions_a", "n_mentions_b",
         )
         bip = bipartite_first_token_pairs(norms, norms, pair_cap=pair_cap)
-        return sym.unionByName(bip).dropDuplicates(["snapshot_ts", "id_a", "id_b"])
+        # sorted-neighborhood pass (window=3): each norm pairs with its
+        # 2 lexicographic successors per snapshot. Catches the recall
+        # hole every other family shares: a typo in the FIRST token
+        # ("merixian prairie" ↔ "meridian prairie") breaks the
+        # sorted/prefix/first-token keys at once and leaves only LSH
+        # luck (12/6 bands miss a J≈0.65 pair ~4% of the time —
+        # observed splitting a real cluster). Cost: one vocab-scale
+        # sort per snapshot, exactly 2 pairs per norm, no block skew.
+        from tempel_spark.operators.blocking import (
+            SN_WINDOW,
+            sorted_neighborhood_pairs,
+        )
+
+        sn = sorted_neighborhood_pairs(
+            norms, sort_key="norm", id_col="norm", window=SN_WINDOW,
+            group_cols=["snapshot_ts"], payload_cols=["n_mentions"],
+        ).select(
+            "snapshot_ts", "id_a", "id_b",
+            F.col("id_a").alias("norm_a"), F.col("id_b").alias("norm_b"),
+            "n_mentions_a", "n_mentions_b",
+        )
+        return (
+            sym.unionByName(bip).unionByName(sn)
+            .dropDuplicates(["snapshot_ts", "id_a", "id_b"])
+        )
 
     pairs = ck("pairs", _pairs, cache=True)
 

@@ -29,9 +29,19 @@ micro-batch:
           what makes a batch retry safe)
 
 Every emitted pair has ≥ 1 side that is new to the vocabulary, so no
-pair is ever scored twice across batches, and the accumulated log
-equals the batch pipeline's scored-pair set whenever the block caps
-don't bind (pinned by tests/test_streaming_incremental_er.py). At
+pair is ever scored twice across batches. Parity with the batch
+pipeline (pinned by tests/test_streaming_incremental_er.py), when the
+block caps don't bind, is per-family: the stationary families (token
+blocks, LSH, prefix, bipartite first-token) accumulate to EXACTLY the
+batch pipeline's pair set; the sorted-neighborhood family is emitted
+at insert time — each fresh norm pairs with its window-neighbors in
+the vocabulary order of its arrival batch — which is a provable
+SUPERSET of the final batch SN pairs (norms are only ever inserted,
+so the sorted distance between two norms never shrinks: any pair
+within the window in the final order was within the window when its
+newer side arrived). The extras — pairs adjacent at insert time that
+later drifted apart — stay in the append-only log; they are scored
+candidates like any others and can only add recall. At
 10^12-turn scale this is the difference between re-scoring the full
 vocabulary² candidate space per ingest and scoring only the
 new-norm frontier (new norms grow ~log-like while turns grow
@@ -59,7 +69,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tempel_spark.operators.blocking import cap_block_size, norm_key
+from tempel_spark.operators.blocking import (
+    SN_WINDOW,
+    cap_block_size,
+    norm_key,
+    sorted_neighborhood_pairs,
+)
 from tempel_spark.operators.scoring import abbreviation_edges, score_pairs
 from tempel_spark.plans.pipeline import (
     bipartite_first_token_pairs,
@@ -150,6 +165,66 @@ def _new_pairs(
         bipartite_first_token_pairs(vocab, fresh, pair_cap=pair_cap)
     )
     return blocked.unionByName(bip).dropDuplicates(["snapshot_ts", "id_a", "id_b"])
+
+
+def _insert_time_sn(
+    bn: DataFrame,
+    prev: DataFrame | None,
+    fresh: DataFrame,
+    window: int = SN_WINDOW,
+) -> DataFrame:
+    """Insert-time sorted-neighborhood pairs for the frontier (the
+    incremental counterpart of pipeline._pairs' SN union — module
+    docstring has the superset proof).
+
+    Cost posture: the neighbor probe is one narrow (norm-column)
+    vocabulary-scale sort per ingest — the same cost class as the
+    per-ingest key-log read in the stationary families; the count
+    payload fold is restricted to the SN *participants* (a
+    delta-proportional set: ≤ 2·(window−1) neighbors per fresh norm),
+    so the vocabulary is never re-aggregated. An Iceberg vocab table
+    with a declared sort order would make the probe itself
+    delta-priced (range-file pruning); with hash-bucketed parquet
+    state the full narrow sort is the honest price.
+    """
+    names = fresh.select("snapshot_ts", "norm", F.lit(True).alias("_fresh"))
+    if prev is not None:
+        names = names.unionByName(
+            prev.select("snapshot_ts", "norm", F.lit(False).alias("_fresh"))
+        )
+    sn = sorted_neighborhood_pairs(
+        names, sort_key="norm", id_col="norm", window=window,
+        group_cols=["snapshot_ts"], payload_cols=["_fresh"],
+    ).filter(F.col("_fresh_a") | F.col("_fresh_b"))
+    parts = (
+        sn.select("snapshot_ts", F.col("id_a").alias("norm"))
+        .unionByName(sn.select("snapshot_ts", F.col("id_b").alias("norm")))
+        .distinct()
+    )
+    counts = bn.select("snapshot_ts", "norm", "n_mentions")
+    if prev is not None:
+        counts = counts.unionByName(prev.select("snapshot_ts", "norm", "n_mentions"))
+    counts = (
+        counts.join(parts, ["snapshot_ts", "norm"], "leftsemi")
+        .groupBy("snapshot_ts", "norm")
+        .agg(F.sum("n_mentions").alias("n_mentions"))
+    )
+    ca = counts.select(
+        "snapshot_ts", F.col("norm").alias("id_a"),
+        F.col("n_mentions").alias("n_mentions_a"),
+    )
+    cb = counts.select(
+        "snapshot_ts", F.col("norm").alias("id_b"),
+        F.col("n_mentions").alias("n_mentions_b"),
+    )
+    return (
+        sn.join(ca, ["snapshot_ts", "id_a"]).join(cb, ["snapshot_ts", "id_b"])
+        .select(
+            "snapshot_ts", "id_a", "id_b",
+            F.col("id_a").alias("norm_a"), F.col("id_b").alias("norm_b"),
+            "n_mentions_a", "n_mentions_b",
+        )
+    )
 
 
 def stream_incremental_er(
@@ -322,13 +397,18 @@ def stream_incremental_er(
                     .drop("_fk")
                 )
 
+            prev_full = catalog.read(_VOCAB) if catalog.exists(_VOCAB) else None
             hot = _hot(bn)
-            if catalog.exists(_VOCAB):
-                hot = hot.unionByName(_hot(catalog.read(_VOCAB)))
+            if prev_full is not None:
+                hot = hot.unionByName(_hot(prev_full))
             merged_hot = hot.groupBy("snapshot_ts", "norm").agg(
                 F.sum("n_mentions").alias("n_mentions")
             )
-            pairs = _new_pairs(kf, ka, fresh, merged_hot, pair_cap)
+            pairs = (
+                _new_pairs(kf, ka, fresh, merged_hot, pair_cap)
+                .unionByName(_insert_time_sn(bn, prev_full, fresh))
+                .dropDuplicates(["snapshot_ts", "id_a", "id_b"])
+            )
             emb_kw: dict = {}
             if embeddings is not None:
                 # same defensive dedupe + left joins as the batch

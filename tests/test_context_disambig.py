@@ -134,3 +134,54 @@ def test_embedding_join_not_forced_broadcast(spark):
         assert emb_joins, "embedding left joins not found in plan"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_conv_vote_routing(spark):
+    """Opt-in one-sense-per-discourse vote (conv_vote=True): a strict
+    same-conversation majority of full-form co-mentions routes the
+    ambiguous occurrence to that candidate's component, un-gated; a
+    tied vote falls through to the cosine path (which, on zero-signal
+    identical texts, emits nothing). Default (conv_vote=False) leaves
+    both occurrences with the surface-level prior."""
+    from tempel_spark.operators.context_disambig import disambiguate_occurrences
+
+    S = "2015-01-01 00:00:00"
+
+    def ts(df):
+        return df.withColumn("snapshot_ts", F.to_timestamp("snapshot_ts"))
+
+    # conv c1: 2× "falcon anchor" vs 1× "falcon krypton" co-mentions
+    # conv c2: 1 vs 1 → tie
+    rows = [
+        ("c1", 0, "falcon", "m1"),
+        ("c1", 1, "falcon anchor", "a1"),
+        ("c1", 2, "falcon anchor", "a2"),
+        ("c1", 3, "falcon krypton", "k1"),
+        ("c2", 0, "falcon", "m2"),
+        ("c2", 1, "falcon anchor", "a3"),
+        ("c2", 2, "falcon krypton", "k2"),
+    ]
+    mentions = ts(spark.createDataFrame(
+        [(S, c, t, s, m) for c, t, s, m in rows],
+        "snapshot_ts string, conv_id string, turn_idx int, surface string, mention_id string",
+    ))
+    transcripts = spark.createDataFrame(
+        [(c, t, "same filler text every turn") for c, t, _, _ in rows],
+        "conv_id string, turn_idx int, text string",
+    )
+    comp = ts(spark.createDataFrame(
+        [(S, "falcon krypton", "CK"), (S, "falcon anchor", "CA"), (S, "falcon", "CK")],
+        "snapshot_ts string, surface string, component string",
+    ))
+    cands = ts(spark.createDataFrame(
+        [(S, "falcon", "falcon krypton", 5), (S, "falcon", "falcon anchor", 2)],
+        "snapshot_ts string, surface string, cand_surface string, cand_freq long",
+    ))
+    voted = disambiguate_occurrences(
+        transcripts, mentions, comp, cands, dim=16, conv_vote=True
+    ).collect()
+    assert {(r.mention_id, r.component) for r in voted} == {("m1", "CA")}
+    novote = disambiguate_occurrences(
+        transcripts, mentions, comp, cands, dim=16, conv_vote=False
+    ).collect()
+    assert novote == []

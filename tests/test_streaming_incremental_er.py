@@ -26,6 +26,39 @@ def _canon_pairs(df):
     )
 
 
+def _sn_pairs_py(vocab_rows, window: int = 3) -> set:
+    """Python mirror of sorted-neighborhood pairing: per snapshot,
+    each norm with its next window−1 lexicographic neighbors."""
+    by_snap: dict = {}
+    for snap, norm in vocab_rows:
+        by_snap.setdefault(snap, set()).add(norm)
+    out = set()
+    for snap, ns in by_snap.items():
+        s = sorted(ns)
+        for i in range(len(s)):
+            for j in range(i + 1, min(i + window, len(s))):
+                out.add((snap, s[i], s[j]))
+    return out
+
+
+def _assert_stream_batch_parity(inc, batch_scored, wave1_vocab):
+    """Per-family parity (incremental_er module contract): the batch
+    pipeline's pairs are a SUBSET of the stream log with identical
+    scores/decisions; the stream's extras are exactly insert-time
+    sorted-neighborhood adjacencies of the wave-1 vocabulary that
+    drifted beyond the window once wave 2's norms were inserted."""
+    s_rows = {r[:3]: r for r in _canon_pairs(inc)}
+    b_rows = {r[:3]: r for r in _canon_pairs(batch_scored)}
+    missing = set(b_rows) - set(s_rows)
+    assert not missing, f"stream log missing batch pairs: {sorted(missing)[:5]}"
+    for k, row in b_rows.items():
+        assert s_rows[k] == row, f"score/decision drift on {k}: {s_rows[k]} != {row}"
+    extras = set(s_rows) - set(b_rows)
+    allowed = _sn_pairs_py(wave1_vocab)
+    bad = extras - allowed
+    assert not bad, f"stream extras outside insert-time SN: {sorted(bad)[:5]}"
+
+
 def test_incremental_er_matches_batch(spark, tmp_path):
     from tempel_spark.plans.pipeline import run_pipeline
     from tempel_spark.sources.catalog import Catalog
@@ -46,6 +79,12 @@ def test_incremental_er_matches_batch(spark, tmp_path):
         spark, landing, cat, snapshots=_SNAPS, pair_cap=_CAP
     ).awaitTermination()
     n_pairs_wave1 = read_scored_pairs(spark, cat).count()
+    v1 = [
+        (r[0], r[1])
+        for r in cat.read("stream_norms")
+        .select(F.col("snapshot_ts").cast("string"), "norm")
+        .collect()
+    ]
     # warm recluster after wave 1: no state yet, so it solves cold and
     # persists the match-edge star forest for the chain below
     recluster(spark, cat, warm=True)
@@ -61,7 +100,7 @@ def test_incremental_er_matches_batch(spark, tmp_path):
     assert inc.count() > n_pairs_wave1 > 0
 
     batch = run_pipeline(spark, t, snapshots=_SNAPS, pair_cap=_CAP)
-    assert _canon_pairs(inc) == _canon_pairs(batch["scored"])
+    _assert_stream_batch_parity(inc, batch["scored"], v1)
 
     # vocabulary state equals the batch norm vocabulary (counts included)
     vocab = sorted(map(tuple, cat.read("stream_norms").select(
@@ -228,13 +267,19 @@ def test_incremental_er_with_embeddings_matches_batch(spark, tmp_path):
     stream_incremental_er(
         spark, landing, cat, snapshots=_SNAPS, pair_cap=_CAP, embeddings=emb
     ).awaitTermination()
+    v1 = [
+        (r[0], r[1])
+        for r in cat.read("stream_norms")
+        .select(F.col("snapshot_ts").cast("string"), "norm")
+        .collect()
+    ]
     t.filter(F.crc32("conv_id") % 2 == 1).write.mode("append").parquet(landing)
     stream_incremental_er(
         spark, landing, cat, snapshots=_SNAPS, pair_cap=_CAP, embeddings=emb
     ).awaitTermination()
 
     batch = run_pipeline(spark, t, snapshots=_SNAPS, pair_cap=_CAP, embeddings=emb)
-    assert _canon_pairs(read_scored_pairs(spark, cat)) == _canon_pairs(batch["scored"])
+    _assert_stream_batch_parity(read_scored_pairs(spark, cat), batch["scored"], v1)
 
 
 def test_wiped_checkpoint_after_multiple_batches_fails_loudly(spark, tmp_path):
