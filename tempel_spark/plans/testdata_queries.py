@@ -518,13 +518,18 @@ from tempel_spark.plans import testdata_queries_dataset  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Driver-window rotation.  The per-round correctness driver adjudicates
-# only the FIRST 50 registry entries; rounds 1-2 both checked the same
-# insertion-order prefix, so queries registered by late module imports
-# never received an independent driver row (VERDICT r2, Missing #1).
-# Rotate: every query the driver has NOT yet adjudicated (the 26 late
-# registrations plus anything new this round) moves to the front, and
-# the long-green prefix rotates to the back — those stay pinned by the
-# local DuckDB harness (tests/test_synth_and_oracle.py) either way.
+# only the FIRST 50 registry entries.  Round-4 policy (VERDICT r3, Next
+# #3): order by staleness of the last driver adjudication relative to
+# code churn —
+#   tier 0: never driver-checked (new registrations this round),
+#   tier 1: driver-checked before their implementation (or a shared
+#           operator: clustering.py CC endgame, topk.py adaptive
+#           probe, dedup.py simhash64_agg) last changed,
+#   tier 2: r2-checked, implementation unchanged since,
+#   tier 3: r3-checked, implementation unchanged since (back of line —
+#           still pinned locally by tests/test_synth_and_oracle.py).
+# Tiers 0+1+2 total ≤ 50, so every query whose code moved after its
+# last driver row gets re-adjudicated in round 4.
 # ---------------------------------------------------------------------
 _DRIVER_CHECKED_R1_R2 = frozenset({
     "q01_pricing_summary", "q03_segment_revenue", "q05_nation_revenue",
@@ -546,9 +551,59 @@ _DRIVER_CHECKED_R1_R2 = frozenset({
 })
 
 
+# The 50 queries adjudicated green in CORRECTNESS_r03.json.
+_DRIVER_CHECKED_R3 = frozenset({
+    "q_weighted_quota", "q_positional_join", "q_except", "q_context_window",
+    "q_drift_stats", "q_ivf_multiprobe", "q_simhash_agg", "q_redirect_detect",
+    "q_whole_word_contains", "q_mention_extract_wiki", "q_pairwise_f1",
+    "q_array_truncate", "q_time_window_agg", "q_rollup", "q_er_scored_pairs",
+    "q_sessionize", "q_keyword_typing", "q_nunique_per_target",
+    "q_salted_hot_blocks", "q_temporal_flux", "q_clean_wikitext",
+    "q_sql_dump_page_props", "q_sql_dump_redirect", "q_paper_stats_matrix",
+    "q_candidate_similarity", "q_sentence_chunks", "q_detokenize",
+    "q_wordpiece", "q_temporal_offset_delta", "q_length_bucket_acc",
+    "q_sorted_neighborhood", "q_percentiles", "q_dataset_subsets",
+    "q_dataset_quota", "q_dataset_balance", "q_dataset_new_balance",
+    "q_title_scd", "q_redirect_chains", "q_dataset_alloc",
+    "q01_pricing_summary", "q03_segment_revenue", "q05_nation_revenue",
+    "q_multi_threshold_filter", "q_value_clip", "q_global_scalar_agg",
+    "q_dense_rank", "q_cumsum", "q_topk_per_group", "q_asof_latest",
+    "q_first_match_rank",
+})
+
+# Queries whose implementation (or a shared operator) changed AFTER
+# their last driver adjudication:
+#  - clustering.py CC endgame (r3 skip + r4 numpy SV contraction):
+#    q_er_components, q_er_match_pairs, q_dataset_subsets
+#  - dedup.py simhash64_agg rewrite (r3, after the r2 q_simhash row):
+#    q_simhash
+#  - topk.py adaptive multi-probe + shared exact tiers (r4):
+#    q_ivf_topk, q_ivf_buckets, q_ivf_multiprobe, q_cosine_topk,
+#    q_dot_product_scores
+#  - alias_table.py / asof.py touched in r3 after their r2 rows:
+#    q_alias_table, q_asof_stable, q_minhash_signature (blocking.py).
+#  - wikitemplates.py convert extension (r4: thousands separators,
+#    spell=/adj=mid, new unit tranche) + extended fixture:
+#    q_clean_wikitext.
+_CHANGED_SINCE_ADJUDICATION = frozenset({
+    "q_er_components", "q_er_match_pairs", "q_dataset_subsets",
+    "q_simhash", "q_ivf_topk", "q_ivf_buckets", "q_ivf_multiprobe",
+    "q_cosine_topk", "q_dot_product_scores", "q_alias_table",
+    "q_asof_stable", "q_minhash_signature", "q_clean_wikitext",
+})
+
+
 def _rotate_driver_window() -> None:
-    fresh = [n for n in QUERIES if n not in _DRIVER_CHECKED_R1_R2]
-    ordered = fresh + [n for n in QUERIES if n in _DRIVER_CHECKED_R1_R2]
+    def tier(n: str) -> int:
+        if n not in _DRIVER_CHECKED_R1_R2 and n not in _DRIVER_CHECKED_R3:
+            return 0  # never driver-checked
+        if n in _CHANGED_SINCE_ADJUDICATION:
+            return 1  # stale adjudication: code moved after last row
+        if n not in _DRIVER_CHECKED_R3:
+            return 2  # r2-only row, unchanged code
+        return 3      # r3 green, unchanged code
+
+    ordered = sorted(QUERIES, key=lambda n: tier(n))  # stable within tier
     for d in (QUERIES, ORACLES):
         snapshot = dict(d)
         d.clear()
