@@ -8,10 +8,18 @@ end-to-end transcripts ER pipeline on a deterministic synthetic corpus
 
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Default mode runs $SPARK_GRAFT_REPS reps (default 3) with the rep
+loop outer and reports per-query MEDIANS plus the min/max spread —
+host drift on this box swings same-code runs ±40% (BENCH.md), so a
+single-shot number is not attributable to code. Count invariants
+(mentions/pairs/components) are asserted byte-stable across reps.
+
 `--scaling` mode: re-runs the ER pipeline in two subprocesses at
 local[N] and local[4N] (sandbox stand-in for N vs 4N executors,
 BASELINE.md) and reports throughput + scaling efficiency.
 `--pipeline-only N_CPUS` is the internal child mode.
+For code-vs-code attribution across git refs, use
+scripts/ab_bench.py (interleaved A/B of two checkouts).
 """
 
 from __future__ import annotations
@@ -174,15 +182,35 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
     from tempel_spark.plans.testdata_queries import QUERIES
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # Median-of-K with the rep loop OUTER (rep 1 runs every query, then
+    # rep 2, ...): host-level drift (VERDICT r3 adjudicated the
+    # apparent r2→r3 regression as environment — same-day same-code
+    # runs drifted 55→77 s) hits all queries of a rep alike, and the
+    # median across temporally-spread reps discards the slow outlier
+    # instead of baking it into the round's number.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    samples["er_pipeline_transcripts"] = []
+    pipe = None
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.time() - t0, 3))
+        p = run_pipeline_bench(spark, sf)
+        samples["er_pipeline_transcripts"].append(p["sec_total"])
+        if pipe is not None:
+            # code-sensitive invariants must be byte-stable across reps
+            for k in ("n_mentions", "n_pairs_scored", "n_components"):
+                assert p[k] == pipe[k], f"rep-unstable invariant {k}: {p[k]} != {pipe[k]}"
+        pipe = p
 
-    pipe = run_pipeline_bench(spark, sf)
-    timings["er_pipeline_transcripts"] = pipe["sec_total"]
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
 
+    timings = {n: med(v) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -192,6 +220,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "spread": {n: [min(v), max(v)] for n, v in samples.items()},
                 "pipeline": pipe,
             }
         )
