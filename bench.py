@@ -124,8 +124,11 @@ def main() -> None:
         # profile=False: the per-stage eager barriers are driver-serial
         # and would be charged to BOTH legs equally, understating the
         # ratio — the scaling legs measure one uninterrupted run.
+        # TEMPEL_PROFILE=1 opts back in for per-stage serial-fraction
+        # DIAGNOSIS (never for the reported ratio).
+        prof = os.environ.get("TEMPEL_PROFILE", "") == "1"
         run_pipeline_bench(spark, sf / 50, scale_mult=mult, profile=False)
-        out = run_pipeline_bench(spark, sf, scale_mult=mult, profile=False)
+        out = run_pipeline_bench(spark, sf, scale_mult=mult, profile=prof)
         out["cpus"] = cpus
         print("PIPELINE_RESULT " + json.dumps(out))
         return

@@ -445,7 +445,8 @@ def test_tsv_and_jsonl_readers(spark):
 def test_sorted_neighborhood_pairs(spark):
     """Sorted-neighborhood blocking: each record pairs with its next
     window-1 sort neighbors per group; payload columns ride along;
-    the whole fan-out costs ONE Window operator (single sort)."""
+    the rank is computed per RANGE partition in parallel (a window
+    keyed by the group alone would sort each group in one task)."""
     from tempel_spark.operators.blocking import sorted_neighborhood_pairs
 
     df = spark.createDataFrame(
@@ -466,9 +467,20 @@ def test_sorted_neighborhood_pairs(spark):
     # 'h' has a single record → no pairs; 'colour'/'color' paired
     # despite sharing no equality block key (the method's point)
     assert all(a != 5 and b != 5 for a, b in pairs)
-    # single Window operator in the plan
+    # parallel shape pinned: ranks ride a range repartition and every
+    # ranking window is keyed by the partition id, never by the group
+    # columns alone (which would serialize each group into one task)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Window") == 1, plan
+    assert "RepartitionByExpression" in plan, plan
+    assert "windowspecdefinition(_pid#" in plan, plan
+    import re
+
+    bad = [
+        ln for ln in plan.splitlines()
+        if "row_number() windowspecdefinition" in ln
+        and not re.search(r"windowspecdefinition\(_pid#", ln)
+    ]
+    assert not bad, bad
 
 
 def test_read_tsv_explicit_schema(spark, tmp_path):
