@@ -220,26 +220,15 @@ def disambiguate_occurrences(
             "snapshot_ts", "conv_id", F.col("surface").alias("cand_surface")
         )
     )
-    w_v = Window.partitionBy("snapshot_ts", "mention_id")
+    from tempel_spark.operators.metrics import strict_majority
+
+    votes = occ_conv.join(
+        F.broadcast(candidates.select("snapshot_ts", "surface", "cand_surface")),
+        ["snapshot_ts", "surface"],
+    ).join(neigh, ["snapshot_ts", "conv_id", "cand_surface"])
+    # strict majority: a UNIQUE argmax candidate, else fall through
     conv_pick = (
-        occ_conv.join(
-            F.broadcast(
-                candidates.select("snapshot_ts", "surface", "cand_surface")
-            ),
-            ["snapshot_ts", "surface"],
-        )
-        .join(neigh, ["snapshot_ts", "conv_id", "cand_surface"])
-        .groupBy("snapshot_ts", "mention_id", "cand_surface")
-        .agg(F.count(F.lit(1)).alias("_n_votes"))
-        .withColumn("_max", F.max("_n_votes").over(w_v))
-        .withColumn(
-            "_n_top",
-            F.sum(
-                F.when(F.col("_n_votes") == F.col("_max"), 1).otherwise(0)
-            ).over(w_v),
-        )
-        # strict majority: a UNIQUE argmax candidate, else fall through
-        .filter((F.col("_n_votes") == F.col("_max")) & (F.col("_n_top") == 1))
+        strict_majority(votes, ["snapshot_ts", "mention_id"], "cand_surface")
         .join(
             surface_components.select(
                 "snapshot_ts",

@@ -21,10 +21,47 @@ __all__ = [
     "acc_at_k",
     "paper_stats_matrix",
     "candidate_similarity_by_cut",
+    "strict_majority",
     "DEFAULT_KS",
 ]
 
 DEFAULT_KS = [1, 2, 4, 8, 16, 32, 64]
+
+
+def strict_majority(
+    df: DataFrame,
+    group_cols: list[str],
+    cand_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per group, the candidate holding a STRICT majority: the unique
+    argmax of the vote count (or summed ``weight_col``); groups whose
+    top is tied are dropped entirely — a tie is no decision.
+
+    The deterministic decision rule behind the conversation co-mention
+    vote (context_disambig.disambiguate_occurrences) — factored out
+    because "unique argmax else abstain" recurs in label aggregation
+    (majority gold per cluster, dominant event type per session).
+    One hash aggregation + one window over the already-aggregated
+    groups; no self-joins, scales with the number of distinct
+    (group, candidate) pairs.
+
+    Output: group_cols…, cand_col, n_votes (long / weight sum).
+    """
+    agg = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).alias("n_votes")
+    g = df.groupBy(*group_cols, cand_col).agg(agg)
+    w = Window.partitionBy(*group_cols)
+    return (
+        g.withColumn("_max", F.max("n_votes").over(w))
+        .withColumn(
+            "_n_top",
+            F.sum(F.when(F.col("n_votes") == F.col("_max"), 1).otherwise(0)).over(w),
+        )
+        .filter((F.col("n_votes") == F.col("_max")) & (F.col("_n_top") == 1))
+        .drop("_max", "_n_top")
+    )
 
 
 def _n_choose_2(c) -> F.Column:

@@ -1050,3 +1050,33 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_strict_majority_vote",
+    """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n_votes
+               FROM events GROUP BY user_id, event_type),
+    m AS (SELECT user_id, MAX(n_votes) AS mx FROM c GROUP BY user_id),
+    t AS (SELECT c.user_id, COUNT(*) AS n_top
+          FROM c JOIN m ON c.user_id = m.user_id AND c.n_votes = m.mx
+          GROUP BY c.user_id)
+    SELECT c.user_id, c.event_type, c.n_votes
+    FROM c
+    JOIN m ON c.user_id = m.user_id AND c.n_votes = m.mx
+    JOIN t ON c.user_id = t.user_id
+    WHERE t.n_top = 1
+    """,
+)
+def q_strict_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-majority vote per group (operators/metrics.py
+    strict_majority): the unique argmax event type per user, ties
+    abstain — the deterministic decision rule behind the conversation
+    co-mention router (context_disambig, one-sense-per-discourse) and
+    majority-gold label aggregation. One hash agg + one window over
+    the aggregated groups; no self-join, no skew beyond the group
+    cardinality."""
+    from tempel_spark.operators.metrics import strict_majority
+
+    ev = t(spark, sf_dir, "events")
+    return strict_majority(ev, ["user_id"], "event_type")

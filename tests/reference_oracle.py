@@ -192,19 +192,21 @@ def cluster_transcripts(rows, snapshots: list[str]) -> dict[str, str]:
         for a in set(abbrs):
             for f in set(fulls):
                 pairs.add((snap, min(a, f), max(a, f)))
-    # sorted-neighborhood pass (window=3, mirrors the pipeline's round-4
-    # sorted_neighborhood_pairs union): each norm pairs with its next 2
-    # lexicographic neighbors per snapshot — the first-token-typo
-    # recall path no token/LSH key covers deterministically
+    # sorted-neighborhood pass (shared SN_WINDOW, mirrors the
+    # pipeline's sorted_neighborhood_pairs union): each norm pairs
+    # with its next window−1 lexicographic neighbors per snapshot —
+    # the first-token-typo recall path no token/LSH key covers
+    # deterministically
+    from tempel_spark.operators.blocking import SN_WINDOW
+
     by_snap = defaultdict(list)
     for snap, n in norms:
         by_snap[snap].append(n)
     for snap, ns in by_snap.items():
         ns = sorted(ns)
         for i in range(len(ns)):
-            for j in (i + 1, i + 2):
-                if j < len(ns):
-                    pairs.add((snap, ns[i], ns[j]))
+            for j in range(i + 1, min(i + SN_WINDOW, len(ns))):
+                pairs.add((snap, ns[i], ns[j]))
 
     uf = UnionFind()
     for snap, n in norms:
