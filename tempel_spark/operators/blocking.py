@@ -206,6 +206,7 @@ def sorted_neighborhood_pairs(
     window: int = 3,
     group_cols: list[str] | None = None,
     payload_cols: list[str] | None = None,
+    bucket_prefix: int = 2,
 ) -> DataFrame:
     """Sorted-neighborhood blocking — the classic ER candidate
     generator the alias/LSH families don't cover: order records by a
@@ -213,13 +214,28 @@ def sorted_neighborhood_pairs(
     neighbors. Catches near-misses that token-equality blocks split
     (e.g. 'color'/'colour' sort adjacently but share no exact key).
 
-    Spark shape: distributed global rank (range partition → parallel
-    local ranks → broadcast offset fold) + a rank equi-join for the
-    neighbor probes — no block-size skew (every record contributes
-    exactly window−1 candidate pairs) and, critically, no
-    one-task-per-group sort: parallelism scales with cores at any
-    group count. Three parallel shuffles of the key frame; window
-    size bounds the pair count linearly, the hallmark of the method.
+    Spark shape: distributed global rank (deterministic key-prefix
+    buckets → parallel local ranks → broadcast offset fold) + a rank
+    equi-join for the neighbor probes — no block-size skew (every
+    record contributes exactly window−1 candidate pairs) and no
+    one-task-per-group sort: parallelism scales with the number of
+    distinct `bucket_prefix`-char key prefixes, not with the group
+    count. The bucket is a VALUE function of the key (UTF-8 prefix
+    order is consistent with full-string order), NOT a sampled range
+    partition: `repartitionByRange` boundaries come from sampling
+    seeded by the physical RDD id, so the two materializations of the
+    subtree (counts vs ranks) under column pruning can disagree near
+    boundaries — measured as parallelism-dependent pair counts
+    (23,288,041 vs 23,303,174 on the same corpus at 8 vs 32 cores)
+    before this was replaced. Value-defined buckets make the rank a
+    pure function of the data: same output at any core count, any
+    plan instantiation, any task retry.
+
+    Worst case (every key shares one prefix) degrades to the classic
+    one-task-per-group sort — raise `bucket_prefix` if a vocabulary
+    is that concentrated. Non-string keys skip bucketing entirely
+    (prefix order is only sound for strings) and take the classic
+    per-group window.
 
     Output: group_cols…, id_a, id_b, key_a, key_b [, payload_a/b].
     """
@@ -244,39 +260,43 @@ def sorted_neighborhood_pairs(
     # parallelism at the number of groups (profiled: the pair stage's
     # 2→8-core speedup fell to 1.9× with per-snapshot single-task
     # sorts; a blocking family must scale with cores, not snapshots):
-    #  1. range-partition on (groups…, key, id) — each group lands
-    #     contiguous and ordered ACROSS partitions;
-    #  2. rank within (partition, group) in parallel;
-    #  3. per-(partition, group) row counts — a partitions×groups-row
+    #  1. bucket on the first `bucket_prefix` chars of the key — a
+    #     value-defined split whose order is consistent with the key
+    #     order (prefix2(x) ≤ prefix2(y) whenever x ≤ y byte-wise);
+    #  2. rank within (group, bucket) in parallel;
+    #  3. per-(group, bucket) row counts — a groups×buckets-row
     #     frame — cumulated into offsets and broadcast back, making
     #     the local ranks global;
     #  4. each record equi-joins its rank+1..rank+window−1 successors.
-    # The global rank is the unique (key, id) total order, so the
-    # output is invariant to where the range boundaries fall (sampling
-    # inside repartitionByRange affects only the offsets, which cancel).
-    spark = df.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    rp = base.repartitionByRange(
-        nparts, *[F.col(g) for g in groups], F.col("key_a"), F.col("id_a")
-    ).withColumn("_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_pid", *groups).orderBy(
-        F.col("key_a").asc(), F.col("id_a").asc()
-    )
-    rp = rp.withColumn("_lr", F.row_number().over(w_local))
-    cnt = rp.groupBy("_pid", *groups).agg(F.count(F.lit(1)).alias("_n"))
-    w_off = (
-        Window.partitionBy(*groups)
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = cnt.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
-    ).drop("_n")
-    ranked = (
-        rp.join(F.broadcast(off), ["_pid", *groups])
-        .withColumn("_r", F.col("_lr") + F.col("_off"))
-        .drop("_pid", "_lr", "_off")
-    )
+    from pyspark.sql.types import StringType
+
+    if isinstance(base.schema["key_a"].dataType, StringType):
+        rp = base.withColumn(
+            "_bkt", F.substring(F.coalesce(F.col("key_a"), F.lit("")), 1, bucket_prefix)
+        )
+        w_local = Window.partitionBy(*groups, "_bkt").orderBy(
+            F.col("key_a").asc(), F.col("id_a").asc()
+        )
+        rp = rp.withColumn("_lr", F.row_number().over(w_local))
+        cnt = rp.groupBy(*groups, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+        w_off = (
+            Window.partitionBy(*groups)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off = cnt.withColumn(
+            "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+        ).drop("_n")
+        ranked = (
+            rp.join(F.broadcast(off), [*groups, "_bkt"])
+            .withColumn("_r", F.col("_lr") + F.col("_off"))
+            .drop("_bkt", "_lr", "_off")
+        )
+    else:
+        w_global = Window.partitionBy(*groups).orderBy(
+            F.col("key_a").asc(), F.col("id_a").asc()
+        )
+        ranked = base.withColumn("_r", F.row_number().over(w_global))
     right = ranked.select(
         *groups, F.col("_r").alias("_rb"),
         F.col("id_a").alias("id_b"), F.col("key_a").alias("key_b"),

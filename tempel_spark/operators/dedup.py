@@ -11,6 +11,12 @@ them can slot into the ER pipeline's blocking stage.
 * simhash64 / simhash_dedup — 64-bit SimHash + Hamming ≤ r within
                           rotated-band blocks
 * embedding_dedup       — cosine ≥ τ within hyperplane buckets
+* repeated_passages     — exact duplicated token-n-gram SPANS across
+                          the corpus (substring-level dedup à la
+                          "Deduplicating Training Data Makes LMs
+                          Better", Lee et al. 2022 — the operator a
+                          training-data pipeline runs to excise
+                          boilerplate, not just drop whole docs)
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ __all__ = [
     "simhash64_agg",
     "simhash_dedup",
     "embedding_dedup",
+    "repeated_passages",
 ]
 
 
@@ -259,4 +266,74 @@ def embedding_dedup(
         pairs.withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def repeated_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token-n-gram spans per document — exact
+    substring-level dedup (Lee et al. 2022): a token n-gram is
+    *duplicated* when it occurs ≥ ``min_count`` times corpus-wide
+    (across documents or repeated within one), and consecutive
+    duplicated positions coalesce into one maximal span, the unit a
+    training pipeline excises or down-weights.
+
+    Spark shape (all native expressions, no Python in the hot path):
+
+    1. per doc, hash each of the ``size-n+1`` n-grams JVM-side
+       (``transform`` over a position sequence → ``xxhash64`` of the
+       joined slice) and ``posexplode`` — corpus-linear, no shuffle;
+    2. one hash aggregation on the 64-bit gram hash → occurrence
+       count, filtered to ≥ min_count (map-side partial combine does
+       the heavy lifting: singleton grams — the vast majority —
+       never leave their executor at full multiplicity);
+    3. equi-join positions to the surviving hash set (AQE handles
+       the skew a viral boilerplate gram creates) and run
+       gaps-and-islands per doc (``pos − row_number()``) — one
+       window partitioned by document, no cross-doc state.
+
+    64-bit hashing is the 100 TB path (grams never ship as strings);
+    at 10^12 grams birthday collisions are possible but only ever
+    create false *duplicates*, never misses — acceptable for an
+    excision operator, and the verify step of the Jaccard family can
+    re-check spans exactly if needed.
+
+    Output: id, span_start/span_end (1-based first-token position of
+    the first/last duplicated gram), n_dup_grams, n_tokens (span
+    length in tokens, = span_end − span_start + n).
+    """
+    tk = F.split(F.col(text_col), " ")
+    npos = F.size(tk) - (n - 1)
+    # guard: sequence(1, 0) is DESCENDING [1, 0], not empty — docs
+    # shorter than n tokens must yield NULL (dropped by posexplode)
+    grams = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, n))),
+        ),
+    )
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("_p0", "_gh")).select(
+        id_col, (F.col("_p0") + 1).alias("pos"), "_gh"
+    )
+    dup = g.groupBy("_gh").agg(F.count(F.lit(1)).alias("_cnt")).filter(
+        F.col("_cnt") >= min_count
+    )
+    d = g.join(dup.select("_gh"), "_gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = d.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .withColumn("n_tokens", F.col("span_end") - F.col("span_start") + n)
+        .drop("_grp")
     )

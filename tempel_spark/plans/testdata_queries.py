@@ -585,11 +585,15 @@ _DRIVER_CHECKED_R3 = frozenset({
 #  - wikitemplates.py convert extension (r4: thousands separators,
 #    spell=/adj=mid, new unit tranche) + extended fixture:
 #    q_clean_wikitext.
+#  - blocking.py sorted_neighborhood_pairs rewritten as a distributed
+#    global rank (r4, after the r3 q_sorted_neighborhood row):
+#    q_sorted_neighborhood.
 _CHANGED_SINCE_ADJUDICATION = frozenset({
     "q_er_components", "q_er_match_pairs", "q_dataset_subsets",
     "q_simhash", "q_ivf_topk", "q_ivf_buckets", "q_ivf_multiprobe",
     "q_cosine_topk", "q_dot_product_scores", "q_alias_table",
     "q_asof_stable", "q_minhash_signature", "q_clean_wikitext",
+    "q_sorted_neighborhood",
 })
 
 

@@ -420,3 +420,37 @@ def q_simhash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.substring("text", 1, 40).alias("_t")
     )
     return simhash64_agg(d, "doc_id", "_t", out_col="simhash")
+
+
+@register(
+    "q_repeated_passages",
+    """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, u.pos::int AS pos,
+             array_to_string(list_slice(toks, u.pos::int, u.pos::int + 7), ' ') AS gram
+      FROM tk, LATERAL unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS u(pos)),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM d)
+    SELECT doc_id, min(pos) AS span_start, max(pos) AS span_end,
+           count(*) AS n_dup_grams,
+           max(pos) - min(pos) + 8 AS n_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage spans (token-8-grams occurring ≥2×
+    corpus-wide, coalesced to maximal per-doc spans) — the
+    substring-level dedup family. The Spark side groups on xxhash64
+    gram hashes (the 100 TB path: grams never shuffle as strings);
+    the oracle groups on the gram strings themselves — identical
+    spans barring a 64-bit birthday collision inside this fixed
+    corpus, which determinism makes a one-time non-event."""
+    from tempel_spark.operators.dedup import repeated_passages
+
+    d = t(spark, sf_dir, "documents")
+    return repeated_passages(d, "doc_id", "text", n=8, min_count=2)

@@ -445,8 +445,10 @@ def test_tsv_and_jsonl_readers(spark):
 def test_sorted_neighborhood_pairs(spark):
     """Sorted-neighborhood blocking: each record pairs with its next
     window-1 sort neighbors per group; payload columns ride along;
-    the rank is computed per RANGE partition in parallel (a window
-    keyed by the group alone would sort each group in one task)."""
+    the rank is computed per deterministic key-prefix BUCKET in
+    parallel (a window keyed by the group alone would sort each
+    group in one task; a sampled range partition is not a value
+    function of the data — see the operator docstring)."""
     from tempel_spark.operators.blocking import sorted_neighborhood_pairs
 
     df = spark.createDataFrame(
@@ -467,18 +469,17 @@ def test_sorted_neighborhood_pairs(spark):
     # 'h' has a single record → no pairs; 'colour'/'color' paired
     # despite sharing no equality block key (the method's point)
     assert all(a != 5 and b != 5 for a, b in pairs)
-    # parallel shape pinned: ranks ride a range repartition and every
-    # ranking window is keyed by the partition id, never by the group
-    # columns alone (which would serialize each group into one task)
+    # parallel shape pinned: every ranking window is keyed by the
+    # value-defined bucket column, never by the group columns alone
+    # (which would serialize each group into one task)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "RepartitionByExpression" in plan, plan
-    assert "windowspecdefinition(_pid#" in plan, plan
+    assert "windowspecdefinition(grp#" in plan and "_bkt#" in plan, plan
     import re
 
     bad = [
         ln for ln in plan.splitlines()
         if "row_number() windowspecdefinition" in ln
-        and not re.search(r"windowspecdefinition\(_pid#", ln)
+        and not re.search(r"windowspecdefinition\([^)]*_bkt#", ln)
     ]
     assert not bad, bad
 
@@ -506,3 +507,65 @@ def test_read_tsv_explicit_schema(spark, tmp_path):
     assert [f.simpleString() for f in df.schema.fields] == [
         "page_id:int", "title:string", "views:bigint"
     ]
+
+
+def test_repeated_passages_spans(spark):
+    """Substring-level dedup: duplicated token-8-gram positions must
+    coalesce into maximal per-doc spans; docs shorter than n yield no
+    grams (sequence(1,0) would be DESCENDING — the guard matters);
+    within-doc repetition counts toward min_count."""
+    from tempel_spark.operators.dedup import repeated_passages
+
+    boiler = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    rows = [
+        (1, boiler + " alpha beta"),            # grams 1..3 duplicated
+        (2, "intro words here " + boiler),      # grams 4..6 duplicated
+        (3, "too short"),                       # < 8 tokens: no grams
+        (4, " ".join(["a"] * 12)),              # self-repeat within one doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        (r.doc_id, r.span_start): r
+        for r in repeated_passages(df, "doc_id", "text", n=8, min_count=2).collect()
+    }
+    # doc 1: positions 1-3 share grams with doc 2's positions 4-6
+    r1 = out[(1, 1)]
+    assert (r1.span_end, r1.n_dup_grams, r1.n_tokens) == (3, 3, 10)
+    r2 = out[(2, 4)]
+    assert (r2.span_end, r2.n_dup_grams, r2.n_tokens) == (6, 3, 10)
+    assert not any(doc == 3 for doc, _ in out)
+    # doc 4: 12 identical tokens — all 5 gram positions hold the SAME
+    # gram (within-doc count 5 ≥ min_count) ⇒ one maximal span 1..5
+    # covering the whole 12-token document
+    r4 = out[(4, 1)]
+    assert (r4.span_end, r4.n_dup_grams, r4.n_tokens) == (5, 5, 12)
+
+
+def test_sorted_neighborhood_parallelism_invariant(spark):
+    """Regression: SN pairs must be a pure function of the data —
+    byte-identical at any shuffle-partition count and any input
+    partitioning. The repartitionByRange formulation failed this
+    (sampled boundaries are seeded by the physical RDD id, and the
+    counts/ranks subtrees re-sample independently under column
+    pruning): measured 23,288,041 vs 23,303,174 pairs on one corpus
+    at 8 vs 32 cores. Value-defined prefix buckets restore purity."""
+    from tempel_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [
+        ("s%d" % (i % 3), i, "nm%03d suffix%d" % (i * 7919 % 400, i % 11))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, name string")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for nshuf, nin in ((3, 2), (31, 17)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(nshuf))
+            out = sorted_neighborhood_pairs(
+                df.repartition(nin), "name", "id", window=3, group_cols=["grp"]
+            )
+            outs.append(sorted((r.grp, r.id_a, r.id_b) for r in out.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 1000  # non-trivial corpus actually paired
