@@ -104,6 +104,17 @@ _unit(["kW"], "kilowatt", "kilowatts", "kW", "P", 1000.0, "hp")
 _unit(["MW"], "megawatt", "megawatts", "MW", "P", 1e6, "hp")
 _unit(["hp"], "horsepower", "horsepower", "hp", "P", 745.69987158227022, "kW")
 _unit(["PS"], "metric horsepower", "metric horsepower", "PS", "P", 735.49875, "kW")
+# round-4 second tranche: energy (food/physics articles), small areas
+# (engineering), GW (power plants) — defaults follow the template's
+# family conventions; renderings pinned by the documented rounding rule
+_unit(["kJ"], "kilojoule", "kilojoules", "kJ", "E", 1e3, "kcal")
+_unit(["kcal"], "kilocalorie", "kilocalories", "kcal", "E", 4184.0, "kJ")
+_unit(["MJ"], "megajoule", "megajoules", "MJ", "E", 1e6, "kWh")
+_unit(["kWh"], "kilowatt-hour", "kilowatt-hours", "kWh", "E", 3.6e6, "MJ")
+_unit(["GW"], "gigawatt", "gigawatts", "GW", "P", 1e9, "hp")
+_unit(["mm2"], "square millimetre", "square millimetres", "mm2", "A", 1e-6, "sqin")
+_unit(["cm2"], "square centimetre", "square centimetres", "cm2", "A", 1e-4, "sqin")
+_unit(["sqin", "in2"], "square inch", "square inches", "sq in", "A", 0.00064516, "cm2")
 
 _TEMP_TO_K = {"C": (1.0, 273.15), "F": (5 / 9, 273.15 - 32 * 5 / 9), "K": (1.0, 0.0)}
 

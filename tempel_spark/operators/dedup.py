@@ -17,6 +17,8 @@ them can slot into the ER pipeline's blocking stage.
                           Better", Lee et al. 2022 — the operator a
                           training-data pipeline runs to excise
                           boilerplate, not just drop whole docs)
+* excise_spans          — the excision half: cut (id, start, end)
+                          token ranges out of the text, native HOFs
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ __all__ = [
     "simhash_dedup",
     "embedding_dedup",
     "repeated_passages",
+    "excise_spans",
 ]
 
 
@@ -336,4 +339,63 @@ def repeated_passages(
         )
         .withColumn("n_tokens", F.col("span_end") - F.col("span_start") + n)
         .drop("_grp")
+    )
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    start_col: str = "start_tok",
+    end_col: str = "end_tok",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Remove token ranges from documents — the excision half of
+    substring-level dedup (`repeated_passages` finds the spans; a
+    policy layer picks which occurrences to keep; this operator cuts
+    the rest). `spans` holds (id, start_tok, end_tok) 1-based
+    inclusive token ranges; overlapping ranges are fine (a token is
+    dropped when ANY range covers it).
+
+    All native: spans collect to one bounded per-doc array (≤
+    tokens/n entries by construction), join once, and a single
+    `filter((t, i) → ¬∃ span covering i+1)` over the token array
+    keeps survivors — the deliberate (element, index) two-parameter
+    HOF overload, no Python, no shuffle beyond the one span join.
+    Token reconstruction `array_join(…, ' ')` is the exact inverse
+    of the `split(text, ' ')` tokenization (empty tokens from runs
+    of spaces round-trip), so an untouched document returns
+    byte-identical text.
+
+    Output: df columns + out_col + n_tokens_removed.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col(start_col).alias("s"), F.col(end_col).alias("e"))
+        ).alias("_sp")
+    )
+    joined = df.join(sp, id_col, "left").withColumn("_tk", F.split(F.col(text_col), " "))
+    kept = F.filter(
+        F.col("_tk"),
+        lambda t, i: ~F.coalesce(
+            F.exists(F.col("_sp"), lambda s: (i + 1 >= s["s"]) & (i + 1 <= s["e"])),
+            F.lit(False),
+        ),
+    )
+    return (
+        joined.withColumn("_kept", kept)
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.array_join(F.col("_kept"), " ")
+            ),
+        )
+        .withColumn(
+            "n_tokens_removed",
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.size("_tk") - F.size("_kept")
+            ),
+        )
+        .drop("_sp", "_tk", "_kept")
     )

@@ -454,3 +454,57 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return repeated_passages(d, "doc_id", "text", n=8, min_count=2)
+
+
+@register(
+    "q_excise_boilerplate",
+    """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, u.pos::int AS pos,
+             array_to_string(list_slice(toks, u.pos::int, u.pos::int + 7), ' ') AS gram
+      FROM tk, LATERAL unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS u(pos)),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM d),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, grp),
+    allpos AS (
+      SELECT doc_id, u.pos::int AS pos, toks[u.pos::int] AS tok, len(toks) AS n_toks
+      FROM tk, LATERAL unnest(generate_series(1, len(toks))) AS u(pos)),
+    keep AS (
+      SELECT a.doc_id, a.pos, a.tok, a.n_toks
+      FROM allpos a
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = a.doc_id AND a.pos BETWEEN s.s AND s.e)),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+             any_value(n_toks) - count(*) AS n_tokens_removed
+      FROM keep GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+           coalesce(a.n_tokens_removed, len(t.toks)) AS n_tokens_removed
+    FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def q_excise_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate excision end-to-end: find duplicated 8-gram spans
+    (`repeated_passages`) and cut every covered token from every doc
+    (`excise_spans`) — the remove-everywhere policy a cleaning
+    pipeline applies to shared boilerplate. Untouched documents
+    round-trip byte-identical (split/join inverse); fully-excised
+    ones come back empty, not missing."""
+    from tempel_spark.operators.dedup import excise_spans, repeated_passages
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = repeated_passages(d, "doc_id", "text", n=8, min_count=2).select(
+        "doc_id",
+        F.col("span_start").alias("start_tok"),
+        (F.col("span_end") + 7).alias("end_tok"),
+    )
+    return excise_spans(d, spans, "doc_id", "text").select(
+        "doc_id", "text_clean", "n_tokens_removed"
+    )

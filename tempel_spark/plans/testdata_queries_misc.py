@@ -423,6 +423,7 @@ def q_temporal_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
              || ' a&nbsp;gap {{convert|5|km|mi}} near {{convert|100|km|mi|abbr=on}}'
              || ' {{convert|10000|m|ft}} deep {{convert|15|ft|m|spell=in}} tall'
              || ' {{convert|10|mi|km|adj=mid|-long}} route {{convert|20|kn|km/h}}'
+             || ' {{convert|500|kcal|kJ}} burn {{convert|1.5|GW|hp}} output'
              || ' at {{convert|37|C|F}} word {{IAST|saMskRta}} {{nowrap|no break}}'
              || ' {{chem|H|2|O}} {{SubatomicParticle|Electron}} {{CO2}}'
              || ' [[File:pic.jpg|thumb|a [[b]] c]] {| rows |} <b>tag</b> tail'
@@ -440,13 +441,15 @@ def q_temporal_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- inline rules keep inner text in place — cleaning.py:72-170)
     cx AS (SELECT doc_id,
              replace(replace(replace(replace(replace(replace(replace(replace(
-             replace(replace(replace(replace(s,
+             replace(replace(replace(replace(replace(replace(s,
                '{{convert|5|km|mi}}', ' 5 kilometres (3.1 mi)'),
                '{{convert|100|km|mi|abbr=on}}', ' 100 km (62 mi)'),
                '{{convert|10000|m|ft}}', ' 10,000 metres (33,000 ft)'),
                '{{convert|15|ft|m|spell=in}}', ' fifteen feet (4.6 m)'),
                '{{convert|10|mi|km|adj=mid|-long}}', ' 10-mile-long (16 km)'),
                '{{convert|20|kn|km/h}}', ' 20 knots (37 km/h)'),
+               '{{convert|500|kcal|kJ}}', ' 500 kilocalories (2,100 kJ)'),
+               '{{convert|1.5|GW|hp}}', ' 1.5 gigawatts (2,000,000 hp)'),
                '{{convert|37|C|F}}', ' 37 °C (99 °F)'),
                '{{SubatomicParticle|Electron}}', ' e−'),
                '{{IAST|saMskRta}}', 'saMskRta'),
@@ -488,6 +491,7 @@ def q_clean_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" a&nbsp;gap {{convert|5|km|mi}} near {{convert|100|km|mi|abbr=on}}"),
         F.lit(" {{convert|10000|m|ft}} deep {{convert|15|ft|m|spell=in}} tall"),
         F.lit(" {{convert|10|mi|km|adj=mid|-long}} route {{convert|20|kn|km/h}}"),
+        F.lit(" {{convert|500|kcal|kJ}} burn {{convert|1.5|GW|hp}} output"),
         F.lit(" at {{convert|37|C|F}} word {{IAST|saMskRta}} {{nowrap|no break}}"),
         F.lit(" {{chem|H|2|O}} {{SubatomicParticle|Electron}} {{CO2}}"),
         F.lit(" [[File:pic.jpg|thumb|a [[b]] c]] {| rows |} <b>tag</b> tail"),

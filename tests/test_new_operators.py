@@ -569,3 +569,24 @@ def test_sorted_neighborhood_parallelism_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert outs[0] == outs[1]
     assert len(outs[0]) > 1000  # non-trivial corpus actually paired
+
+
+def test_excise_spans(spark):
+    """Excision: covered tokens drop (overlaps union), untouched text
+    round-trips byte-identical including runs of spaces, fully-covered
+    docs return '' (not a missing row), null text stays null."""
+    from tempel_spark.operators.dedup import excise_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "keep  exact   spacing"), (3, "x y z"), (4, None)],
+        "doc_id int, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 4), (3, 1, 3)], "doc_id int, start_tok int, end_tok int"
+    )
+    got = {r.doc_id: (r.text_clean, r.n_tokens_removed)
+           for r in excise_spans(df, spans, "doc_id", "text").collect()}
+    assert got[1] == ("a e", 3)          # overlapping 2-3 and 3-4 union to 2-4
+    assert got[2] == ("keep  exact   spacing", 0)  # split/join inverse
+    assert got[3] == ("", 3)             # fully excised, present and empty
+    assert got[4] == (None, None)

@@ -262,6 +262,17 @@ def test_convert_template_expansion():
     assert expand_convert("5|ST|t") == "5 short tons (4.5 t)"
     assert expand_convert("5|ml|USfloz") == "5 millilitres (0.17 US fl oz)"
     assert expand_convert("250|um|in") == "250 micrometres (0.0098 in)"
+    # second tranche: energy / small-area / GW (renderings computed by
+    # the documented rounding rule; family-convention defaults)
+    assert expand_convert("500|kcal|kJ") == "500 kilocalories (2,100 kJ)"
+    assert expand_convert("2000|kJ|kcal") == "2,000 kilojoules (480 kcal)"
+    assert expand_convert("100|kWh|MJ") == "100 kilowatt-hours (360 MJ)"
+    assert expand_convert("1.5|GW|hp") == "1.5 gigawatts (2,000,000 hp)"
+    assert expand_convert("4|sqin|cm2") == "4 square inches (26 cm2)"
+    assert expand_convert("2000|kcal") == "2,000 kilocalories (8,400 kJ)"
+    # energy never converts into power or area (dimension check holds
+    # for the new tags too)
+    assert expand_convert("5|kJ|kW") == ""
 
     # mid-sentence expansion through the full cleaner, nested in nowrap
     raw = ("The {{nowrap|{{convert|42.195|km|mi}}}} marathon at "
