@@ -115,6 +115,26 @@ _unit(["GW"], "gigawatt", "gigawatts", "GW", "P", 1e9, "hp")
 _unit(["mm2"], "square millimetre", "square millimetres", "mm2", "A", 1e-6, "sqin")
 _unit(["cm2"], "square centimetre", "square centimetres", "cm2", "A", 1e-4, "sqin")
 _unit(["sqin", "in2"], "square inch", "square inches", "sq in", "A", 0.00064516, "cm2")
+# round-4 third tranche: pressure (weather/engineering), force,
+# astronomy lengths, engine displacement — the remaining high-frequency
+# dump families; same computed-rendering rule, Pa / N base units
+_unit(["Pa"], "pascal", "pascals", "Pa", "PR", 1.0, "psi")
+_unit(["kPa"], "kilopascal", "kilopascals", "kPa", "PR", 1e3, "psi")
+_unit(["MPa"], "megapascal", "megapascals", "MPa", "PR", 1e6, "psi")
+_unit(["hPa"], "hectopascal", "hectopascals", "hPa", "PR", 100.0, "inHg")
+_unit(["bar"], "bar", "bars", "bar", "PR", 1e5, "psi")
+_unit(["atm"], "standard atmosphere", "standard atmospheres", "atm", "PR", 101325.0, "kPa")
+_unit(["psi"], "pound per square inch", "pounds per square inch", "psi", "PR", 6894.757293168361, "kPa")
+_unit(["mmHg", "Torr"], "millimetre of mercury", "millimetres of mercury", "mmHg", "PR", 133.322387415, "kPa")
+_unit(["inHg"], "inch of mercury", "inches of mercury", "inHg", "PR", 3386.389, "hPa")
+_unit(["N"], "newton", "newtons", "N", "FO", 1.0, "lbf")
+_unit(["kN"], "kilonewton", "kilonewtons", "kN", "FO", 1e3, "lbf")
+_unit(["lbf"], "pound-force", "pounds-force", "lbf", "FO", 4.4482216152605, "N")
+_unit(["AU"], "astronomical unit", "astronomical units", "AU", "L", 1.495978707e11, "km")
+_unit(["ly"], "light-year", "light-years", "ly", "L", 9.4607304725808e15, "AU")
+_unit(["pc"], "parsec", "parsecs", "pc", "L", 3.0856775814913673e16, "ly")
+_unit(["cc"], "cubic centimetre", "cubic centimetres", "cc", "V", 1e-6, "cuin")
+_unit(["cuin", "in3"], "cubic inch", "cubic inches", "cu in", "V", 1.6387064e-5, "cc")
 
 _TEMP_TO_K = {"C": (1.0, 273.15), "F": (5 / 9, 273.15 - 32 * 5 / 9), "K": (1.0, 0.0)}
 

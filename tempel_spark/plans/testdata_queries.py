@@ -583,8 +583,9 @@ _DRIVER_CHECKED_R3 = frozenset({
 #  - alias_table.py / asof.py touched in r3 after their r2 rows:
 #    q_alias_table, q_asof_stable, q_minhash_signature (blocking.py).
 #  - wikitemplates.py convert extension (r4: thousands separators,
-#    spell=/adj=mid, new unit tranche) + extended fixture:
-#    q_clean_wikitext.
+#    spell=/adj=mid, two new unit tranches) + extended fixtures:
+#    q_clean_wikitext, q_temporal_flux (fixture shares the convert
+#    forms, oracle extended in lockstep).
 #  - blocking.py sorted_neighborhood_pairs rewritten as a distributed
 #    global rank (r4, after the r3 q_sorted_neighborhood row):
 #    q_sorted_neighborhood.
@@ -593,7 +594,7 @@ _CHANGED_SINCE_ADJUDICATION = frozenset({
     "q_simhash", "q_ivf_topk", "q_ivf_buckets", "q_ivf_multiprobe",
     "q_cosine_topk", "q_dot_product_scores", "q_alias_table",
     "q_asof_stable", "q_minhash_signature", "q_clean_wikitext",
-    "q_sorted_neighborhood",
+    "q_temporal_flux", "q_sorted_neighborhood",
 })
 
 

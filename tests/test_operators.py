@@ -234,8 +234,8 @@ def test_convert_template_expansion():
     assert expand_convert("5|km|kg") == ""
     assert expand_convert("5|furlongs") == ""
     # an unknown REQUESTED target also deletes — never silently
-    # substitutes the default target ('10|km|pc' must not render mi)
-    assert expand_convert("10|km|pc") == ""
+    # substitutes the default target ('10|km|cubit' must not render mi)
+    assert expand_convert("10|km|cubit") == ""
 
     # round-4 forms (VERDICT r3 Next #7) — live-template renderings:
     # thousands separators on 4+-digit integer parts, both sides
@@ -273,6 +273,17 @@ def test_convert_template_expansion():
     # energy never converts into power or area (dimension check holds
     # for the new tags too)
     assert expand_convert("5|kJ|kW") == ""
+    # third tranche: pressure / force / astronomy / displacement
+    # (14.7 psi → 101 kPa verified against the live template rendering)
+    assert expand_convert("14.7|psi|kPa") == "14.7 pounds per square inch (101 kPa)"
+    assert expand_convert("1013|hPa|inHg") == "1,013 hectopascals (29.9 inHg)"
+    assert expand_convert("760|mmHg|kPa") == "760 millimetres of mercury (101 kPa)"
+    assert expand_convert("500|kN|lbf") == "500 kilonewtons (110,000 lbf)"
+    assert expand_convert("1|AU|km") == "1 astronomical unit (150,000,000 km)"
+    assert expand_convert("1|pc|ly") == "1 parsec (3.3 ly)"
+    assert expand_convert("350|cuin|cc") == "350 cubic inches (5,700 cc)"
+    assert expand_convert("5|psi") == "5 pounds per square inch (34 kPa)"
+    assert expand_convert("5|kPa|kg") == ""  # pressure never → mass
 
     # mid-sentence expansion through the full cleaner, nested in nowrap
     raw = ("The {{nowrap|{{convert|42.195|km|mi}}}} marathon at "
