@@ -1,0 +1,119 @@
+"""Sparse lexical retrieval — TF-IDF / BM25 scoring and top-k search.
+
+The reference resolves mentions with a dense bi-encoder + FAISS
+(`faiss_indexer.py`, `nn_prediction.py:76`); the classic sparse
+counterpart (BM25 over an inverted index) is what a training-data
+pipeline runs at corpus scale for quality filtering, dedup-adjacent
+search, and hard-negative mining before any dense model exists. No
+reference analogue — this is part of the LLM-data-pipeline surface.
+
+Spark shape (designed for the 100 TB posture):
+
+* tokenization and per-(doc, term) term frequencies are one explode +
+  one hash aggregation — map-side combinable, no skew beyond Zipf
+  terms, which the scoring join tolerates because the QUERY side
+  prunes it;
+* the score join is an INVERTED-INDEX equi-join on the term: only
+  terms that actually occur in some query are ever joined, so a
+  thousand-query batch against 10^10 documents touches the posting
+  lists of ~10^4 terms, not the corpus. The query-term side is tiny
+  and broadcast;
+* corpus statistics (N, avgdl) are a one-row aggregate broadcast via
+  a literal-free cross join — no driver-side collect in the plan;
+* top-k per query is the standard window rank-filter, partitioned by
+  query id (no global sort).
+
+Scores are rounded (default 6 dp) INSIDE the operator so that
+per-query sums of double-precision term contributions — whose
+addition order Spark does not fix — compare stably across plans,
+partitionings, and the DuckDB oracle; ranking ties on the rounded
+score break by doc id, so top-k membership is deterministic too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["doc_term_freqs", "bm25_scores", "bm25_topk"]
+
+
+def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf, dl): whitespace-token term frequencies plus the
+    document length in tokens. One explode + one aggregation; empty /
+    NULL texts yield no rows (a 0-length doc has no postings)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, id_col)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+) -> DataFrame:
+    """BM25 relevance of every (query, doc) pair sharing ≥1 term.
+
+    Okapi BM25 with the standard Robertson-Sparck Jones idf,
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``, over DISTINCT query
+    terms (repeated terms in a query count once — documented
+    simplification; repeat-weighting is a multiply-by-qtf away).
+    Output: (query_id, doc_id, score) — score rounded to `round_dp`.
+    """
+    postings = doc_term_freqs(docs, doc_id, text_col)
+    # document frequency per term + corpus stats, both posting-derived
+    df_ = postings.groupBy("term").agg(F.countDistinct(doc_id).alias("df"))
+    stats = postings.select(doc_id, "dl").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id), F.explode(F.split(F.col(query_col), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (1.0 + k1)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")  # inverted-index probe
+        .join(F.broadcast(df_.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id, doc_id)
+        .agg(F.round(F.sum(idf * tf_part), round_dp).alias("score"))
+    )
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    **kw,
+) -> DataFrame:
+    """Top-k documents per query by BM25 — rank over the scored pairs,
+    partitioned by query (no global sort), rounded-score ties broken
+    by doc id so the cut is deterministic."""
+    scored = bm25_scores(docs, queries, **kw)
+    qid = kw.get("query_id", "query_id")
+    did = kw.get("doc_id", "doc_id")
+    w = Window.partitionBy(qid).orderBy(F.col("score").desc(), F.col(did).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

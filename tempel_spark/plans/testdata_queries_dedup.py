@@ -508,3 +508,65 @@ def q_excise_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excise_spans(d, spans, "doc_id", "text").select(
         "doc_id", "text_clean", "n_tokens_removed"
     )
+
+
+@register(
+    "q_bm25_topk",
+    """
+    WITH tk AS (
+      SELECT doc_id, u.tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(toks) AS u(tok)
+      WHERE u.tok != ''),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS query
+      FROM documents ORDER BY doc_id LIMIT 5),
+    qt AS (
+      SELECT DISTINCT query_id, u.tok
+      FROM q, unnest(string_split(query, ' ')) AS u(tok)
+      WHERE u.tok != ''),
+    sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.0 + 1.2))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qt ON tf.tok = qt.tok
+      JOIN dfreq ON dfreq.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM sc)
+    SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval over the documents table — sparse lexical
+    search via an inverted-index equi-join (only query terms' posting
+    lists are touched; the query side broadcasts). Queries are
+    corpus-derived and deterministic: the first 3 tokens of the 5
+    lowest-id documents. Scores round to 6 dp inside the operator so
+    double-summation order never shows (see operators/retrieval.py)."""
+    from tempel_spark.operators.retrieval import bm25_topk
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = (
+        d.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("query"),
+        )
+    )
+    return bm25_topk(d, queries, k=5).select("query_id", "doc_id", "score", "rank")

@@ -590,3 +590,35 @@ def test_excise_spans(spark):
     assert got[2] == ("keep  exact   spacing", 0)  # split/join inverse
     assert got[3] == ("", 3)             # fully excised, present and empty
     assert got[4] == (None, None)
+
+
+def test_bm25_topk(spark):
+    """BM25 against hand-computed Okapi scores on a 3-doc corpus:
+    idf = ln(1 + (N-df+0.5)/(df+0.5)), tf part with k1=1.2, b=0.75;
+    ranking (and rounded-score tie-break by doc id) deterministic."""
+    import math
+
+    from tempel_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c c c c")], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame([(10, "a c")], "query_id long, query string")
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(docs, queries, k=5).collect()
+    }
+
+    def idf(df_):
+        return math.log(1.0 + (3 - df_ + 0.5) / (df_ + 0.5))
+
+    def tfp(tf, dl):
+        return tf * (1.0 + 1.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.0))
+
+    exp = {
+        (10, 1): round(idf(1) * tfp(2, 3), 6),   # 'a' in d1
+        (10, 3): round(idf(2) * tfp(4, 4), 6),   # 'c' in d3
+        (10, 2): round(idf(2) * tfp(1, 2), 6),   # 'c' in d2
+    }
+    assert {k: v[0] for k, v in got.items()} == exp
+    assert [got[(10, d)][1] for d in (1, 3, 2)] == [1, 2, 3]  # rank order
