@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["doc_term_freqs", "bm25_scores", "bm25_topk"]
+__all__ = ["doc_term_freqs", "bm25_scores", "bm25_topk", "tfidf_keywords"]
 
 
 def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -98,6 +98,43 @@ def bm25_scores(
         .agg(F.round(F.sum(idf * tf_part), round_dp).alias("score"))
     )
     return scored
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the
+    keyword-extraction pass a training-data pipeline uses for topic
+    tagging and near-dup triage. tf-idf = (tf / dl) · ln(N / df)
+    (length-normalized tf, plain idf — documented variant). Same
+    postings + one-row-stats shape as BM25; ranking is per-document
+    (window over id_col), rounded-score ties break lexicographically
+    on the term so the cut is deterministic.
+
+    Output: (id_col, term, tfidf, rank)."""
+    postings = doc_term_freqs(docs, id_col, text_col)
+    df_ = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    stats = postings.select(id_col, "dl").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        postings.join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                (F.col("tf") / F.col("dl")) * F.log(F.col("n_docs") / F.col("df")),
+                round_dp,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def bm25_topk(

@@ -570,3 +570,40 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bm25_topk(d, queries, k=5).select("query_id", "doc_id", "score", "rank")
+
+
+@register(
+    "q_tfidf_keywords",
+    """
+    WITH tk AS (
+      SELECT doc_id, u.tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(toks) AS u(tok)
+      WHERE u.tok != ''),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+    stats AS (SELECT count(*) AS n_docs FROM dl),
+    sc AS (
+      SELECT tf.doc_id, tf.tok AS term,
+             round((tf / dl) * ln(n_docs / df), 6) AS tfidf
+      FROM tf
+      JOIN dfreq ON dfreq.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM sc)
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by length-normalized
+    TF-IDF — keyword extraction for topic tagging. Per-document window
+    rank; rounded-score ties break on the term."""
+    from tempel_spark.operators.retrieval import tfidf_keywords
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(d, k=3).select("doc_id", "term", "tfidf", "rank")

@@ -622,3 +622,19 @@ def test_bm25_topk(spark):
     }
     assert {k: v[0] for k, v in got.items()} == exp
     assert [got[(10, d)][1] for d in (1, 3, 2)] == [1, 2, 3]  # rank order
+
+
+def test_tfidf_keywords(spark):
+    """Length-normalized TF-IDF keywords: hand-computed scores, equal-
+    score ties break lexicographically on the term."""
+    from tempel_spark.operators.retrieval import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c c d")], "doc_id long, text string"
+    )
+    rows = sorted(map(tuple, tfidf_keywords(docs, k=2).collect()))
+    assert rows == [
+        (1, "a", 0.732408, 1), (1, "b", 0.135155, 2),
+        (2, "b", 0.202733, 1), (2, "c", 0.202733, 2),  # tie -> b first
+        (3, "c", 0.27031, 2), (3, "d", 0.366204, 1),
+    ]
