@@ -35,7 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["doc_term_freqs", "bm25_scores", "bm25_topk", "tfidf_keywords"]
+__all__ = [
+    "doc_term_freqs",
+    "bm25_scores",
+    "bm25_topk",
+    "tfidf_keywords",
+    "unigram_logprob",
+]
 
 
 def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -96,6 +102,43 @@ def bm25_scores(
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id, doc_id)
         .agg(F.round(F.sum(idf * tf_part), round_dp).alias("score"))
+    )
+    return scored
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram distribution — the C4/Gopher-style fluency signal a
+    training-data pipeline thresholds on (gibberish and boilerplate
+    both sit in the tails; no external model needed). score(d) =
+    mean_{t∈d, with multiplicity} ln(count(t) / total_tokens).
+
+    Shape: corpus term counts are one hash agg; the per-token join is
+    term-keyed (Zipf-hot terms are fine — the joined payload is one
+    count per term); total_tokens rides a one-row broadcast. Docs with
+    no tokens produce no row (no probability mass to average).
+
+    Output: (id_col, n_tokens, logprob) — logprob rounded."""
+    postings = doc_term_freqs(docs, id_col, text_col)
+    counts = postings.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    scored = (
+        postings.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("c") / F.col("total")))
+                / F.sum("tf"),
+                round_dp,
+            ).alias("logprob"),
+        )
     )
     return scored
 

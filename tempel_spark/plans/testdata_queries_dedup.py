@@ -607,3 +607,117 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_keywords(d, k=3).select("doc_id", "term", "tfidf", "rank")
+
+
+@register(
+    "q_unigram_logprob",
+    """
+    WITH tk AS (
+      SELECT doc_id, u.tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(toks) AS u(tok)
+      WHERE u.tok != ''),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+    c AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY tok),
+    tot AS (SELECT sum(c) AS total FROM c)
+    SELECT tf.doc_id, sum(tf)::bigint AS n_tokens,
+           round(sum(tf * ln(c / total)) / sum(tf), 6) AS logprob
+    FROM tf JOIN c ON c.tok = tf.tok CROSS JOIN tot
+    GROUP BY tf.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram fluency score per document (mean token
+    log-probability under the corpus's own term distribution) — the
+    quality-threshold signal of C4-style cleaning, model-free."""
+    from tempel_spark.operators.retrieval import unigram_logprob
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(d)
+
+
+@register(
+    "q_bm25_passages",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents),
+    ch AS (
+      SELECT doc_id, g.i::int AS chunk_idx,
+             doc_id || ':' || g.i::int AS passage_id,
+             array_to_string(list_slice(toks, g.i::int * 16 + 1, g.i::int * 16 + 16), ' ') AS passage
+      FROM base, unnest(generate_series(0, (len(toks) + 15) // 16 - 1)) AS g(i)
+      WHERE len(toks) > 0),
+    tk AS (
+      SELECT passage_id, u.tok
+      FROM ch, unnest(string_split(passage, ' ')) AS u(tok)
+      WHERE u.tok != ''),
+    tf AS (SELECT passage_id, tok, count(*) AS tf FROM tk GROUP BY passage_id, tok),
+    dl AS (SELECT passage_id, count(*) AS dl FROM tk GROUP BY passage_id),
+    dfreq AS (SELECT tok, count(DISTINCT passage_id) AS df FROM tk GROUP BY tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS query
+      FROM documents ORDER BY doc_id LIMIT 5),
+    qt AS (
+      SELECT DISTINCT query_id, u.tok
+      FROM q, unnest(string_split(query, ' ')) AS u(tok)
+      WHERE u.tok != ''),
+    sc AS (
+      SELECT qt.query_id, tf.passage_id,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.0 + 1.2))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qt ON tf.tok = qt.tok
+      JOIN dfreq ON dfreq.tok = tf.tok
+      JOIN dl ON dl.passage_id = tf.passage_id
+      CROSS JOIN stats
+      GROUP BY qt.query_id, tf.passage_id),
+    ranked AS (
+      SELECT query_id, passage_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, passage_id) AS rank
+      FROM sc)
+    SELECT query_id, passage_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level retrieval — the RAG-prep composition: fixed-stride
+    16-token chunking (posexplode over sliced token arrays, no Python)
+    feeds the BM25 inverted-index retriever; top-3 passages per
+    corpus-derived query. Passage ids are doc:chunk strings so the
+    retrieval unit stays self-describing."""
+    from tempel_spark.operators.retrieval import bm25_topk
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    base = d.select("doc_id", toks.alias("_toks")).filter(F.size("_toks") > 0)
+    n_chunks = F.ceil(F.size("_toks") / F.lit(16)).cast("int")
+    passages = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("_toks", i * 16 + 1, 16), " "),
+            )
+        ).alias("chunk_idx", "passage"),
+    ).select(
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("passage_id"),
+        "passage",
+    )
+    queries = (
+        d.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("query"),
+        )
+    )
+    return bm25_topk(
+        passages, queries, k=3, doc_id="passage_id", text_col="passage"
+    ).select("query_id", "passage_id", "score", "rank")

@@ -638,3 +638,20 @@ def test_tfidf_keywords(spark):
         (2, "b", 0.202733, 1), (2, "c", 0.202733, 2),  # tie -> b first
         (3, "c", 0.27031, 2), (3, "d", 0.366204, 1),
     ]
+
+
+def test_unigram_logprob(spark):
+    """Mean token log-probability under the corpus unigram model,
+    hand-computed: counts a=2 b=2 c=1 over 5 tokens."""
+    import math
+
+    from tempel_spark.operators.retrieval import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.logprob)
+           for r in unigram_logprob(docs).collect()}
+    assert got[1] == (3, round(math.log(2 / 5), 6))
+    assert got[2] == (2, round((math.log(2 / 5) + math.log(1 / 5)) / 2, 6))
+    assert 3 not in got  # null text: no tokens, no row
