@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "CCResult"]
+__all__ = ["connected_components", "CCResult", "cluster_evolution"]
 
 
 def _sym(e: DataFrame) -> DataFrame:
@@ -287,3 +287,103 @@ def _star_labels(e, nodes, iterations, converged, history) -> CCResult:
             .select("node", F.coalesce("component", F.col("node")).alias("component"))
         )
     return CCResult(components=comp, iterations=iterations, converged=converged, history=history)
+
+
+def cluster_evolution(
+    df,
+    snapshot_col: str = "snapshot_ts",
+    member_col: str = "member",
+    comp_col: str = "component",
+    jaccard_threshold: float = 0.5,
+):
+    """Track clusters across consecutive snapshots — the temporal-
+    entity semantics of the reference dataset (continual vs new
+    entities per yearly cut, TempEL paper §3 / s03's per-snapshot
+    subsets): each snapshot's cluster is matched to the previous
+    snapshot's cluster with the largest member overlap and labeled
+
+    * ``new``       — no member existed in the previous snapshot's
+                      clustering (first appearance);
+    * ``continual`` — best-match Jaccard ≥ `jaccard_threshold`
+                      (same entity, possibly grown/shrunk);
+    * ``changed``   — members carried over but the cluster was
+                      reorganized past the threshold (split/merge).
+
+    The first snapshot has no predecessor; its clusters are ``new``
+    by definition. Input is a membership partition per snapshot:
+    (snapshot, member, component), one component per member.
+
+    Spark shape: snapshot adjacency is a window over the DISTINCT
+    snapshot list (tiny); the member carry-over join is member-keyed
+    (corpus-partitioned, no skew beyond membership hot spots); the
+    best-predecessor pick is a per-(snapshot, component) window
+    argmax with deterministic ties (overlap desc, prev component
+    asc). No collects, no global sorts.
+
+    Output: (snapshot_col, comp_col, n_members, prev_component,
+    overlap, jaccard, status).
+    """
+    snaps = df.select(snapshot_col).distinct()
+    w_adj = Window.orderBy(snapshot_col)
+    adj = snaps.select(
+        F.col(snapshot_col).alias("_next"),
+        F.lag(snapshot_col).over(w_adj).alias("_prev_snap"),
+    )
+    sizes = df.groupBy(snapshot_col, comp_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    cur = df.join(adj, df[snapshot_col] == adj["_next"]).select(
+        F.col(snapshot_col).alias("_s"), "_prev_snap",
+        F.col(member_col).alias("_m"), F.col(comp_col).alias("_c"),
+    )
+    prev = df.select(
+        F.col(snapshot_col).alias("_prev_snap"),
+        F.col(member_col).alias("_m"),
+        F.col(comp_col).alias("_pc"),
+    )
+    ov = (
+        cur.join(prev, ["_prev_snap", "_m"])
+        .groupBy("_s", "_c", "_pc")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_best = Window.partitionBy("_s", "_c").orderBy(
+        F.col("overlap").desc(), F.col("_pc").asc()
+    )
+    best = ov.withColumn("_rn", F.row_number().over(w_best)).filter(F.col("_rn") == 1)
+    psz = sizes.select(
+        F.col(snapshot_col).alias("_prev_snap"),
+        F.col(comp_col).alias("_pc"),
+        F.col("n_members").alias("_pn"),
+    )
+    out = (
+        sizes.join(adj, sizes[snapshot_col] == adj["_next"], "inner")
+        .select(snapshot_col, comp_col, "n_members", "_prev_snap")
+        .join(
+            best.select(
+                F.col("_s").alias(snapshot_col), F.col("_c").alias(comp_col),
+                F.col("_pc"), "overlap",
+            ),
+            [snapshot_col, comp_col],
+            "left",
+        )
+        .join(psz, ["_prev_snap", "_pc"], "left")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("overlap")
+                / (F.col("n_members") + F.col("_pn") - F.col("overlap")),
+                6,
+            ),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("overlap").isNull(), F.lit("new"))
+            .when(F.col("jaccard") >= jaccard_threshold, F.lit("continual"))
+            .otherwise(F.lit("changed")),
+        )
+        .select(
+            snapshot_col, comp_col, "n_members",
+            F.col("_pc").alias("prev_component"), "overlap", "jaccard", "status",
+        )
+    )
+    return out

@@ -1084,3 +1084,72 @@ def q_strict_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return strict_majority(ev, ["user_id"], "event_type")
+
+
+@register(
+    "q_cluster_evolution",
+    """
+    WITH m AS (
+      SELECT year(ts) AS snap_year, user_id, event_type, count(*) AS c
+      FROM events GROUP BY snap_year, user_id, event_type),
+    asg AS (
+      SELECT snap_year, user_id, event_type AS component
+      FROM (SELECT *, row_number() OVER (PARTITION BY snap_year, user_id
+                                         ORDER BY c DESC, event_type) AS rn
+            FROM m) WHERE rn = 1),
+    sizes AS (
+      SELECT snap_year, component, count(*) AS n_members
+      FROM asg GROUP BY snap_year, component),
+    adj AS (
+      SELECT snap_year AS nxt, lag(snap_year) OVER (ORDER BY snap_year) AS prv
+      FROM (SELECT DISTINCT snap_year FROM asg)),
+    ov AS (
+      SELECT a.snap_year AS s, a.component AS c, p.component AS pc,
+             count(*) AS overlap
+      FROM asg a
+      JOIN adj ON adj.nxt = a.snap_year
+      JOIN asg p ON p.snap_year = adj.prv AND p.user_id = a.user_id
+      GROUP BY s, c, pc),
+    best AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY s, c
+                                                  ORDER BY overlap DESC, pc) AS rn
+                     FROM ov) WHERE rn = 1),
+    j AS (
+      SELECT z.snap_year, z.component, z.n_members,
+             b.pc AS prev_component, b.overlap,
+             round(b.overlap / (z.n_members + ps.n_members - b.overlap), 6) AS jaccard
+      FROM sizes z
+      LEFT JOIN best b ON b.s = z.snap_year AND b.c = z.component
+      LEFT JOIN adj ON adj.nxt = z.snap_year
+      LEFT JOIN sizes ps ON ps.snap_year = adj.prv AND ps.component = b.pc)
+    SELECT snap_year, component, n_members, prev_component, overlap, jaccard,
+           CASE WHEN overlap IS NULL THEN 'new'
+                WHEN jaccard >= 0.5 THEN 'continual'
+                ELSE 'changed' END AS status
+    FROM j
+    """,
+)
+def q_cluster_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal cluster evolution — the reference dataset's
+    continual-vs-new entity semantics over consecutive yearly cuts:
+    users cluster by their modal event type per year; each year's
+    cluster is matched to its best-overlap predecessor and labeled
+    new / continual / changed (Jaccard-thresholded)."""
+    from tempel_spark.operators.clustering import cluster_evolution
+
+    ev = t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.year("ts").alias("snap_year"), "user_id", "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("snap_year", "user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    asg = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("snap_year", F.col("user_id").alias("member"),
+                F.col("event_type").alias("component"))
+    )
+    return cluster_evolution(
+        asg, snapshot_col="snap_year", member_col="member", comp_col="component"
+    )

@@ -655,3 +655,30 @@ def test_unigram_logprob(spark):
     assert got[1] == (3, round(math.log(2 / 5), 6))
     assert got[2] == (2, round((math.log(2 / 5) + math.log(1 / 5)) / 2, 6))
     assert 3 not in got  # null text: no tokens, no row
+
+
+def test_cluster_evolution(spark):
+    """Continual-vs-new labeling: growth stays continual, a split
+    falls below the Jaccard threshold (0.6 here) and reads 'changed',
+    a cluster with no carried-over member is 'new'; the first snapshot
+    is 'new' by definition; best-predecessor ties are deterministic."""
+    from tempel_spark.operators.clustering import cluster_evolution
+
+    rows = [
+        (1, "a", "c1"), (1, "b", "c1"), (1, "c", "c1"),
+        (1, "d", "c2"), (1, "e", "c2"),
+        (2, "a", "c1"), (2, "b", "c1"), (2, "c", "c1"), (2, "f", "c1"),
+        (2, "d", "c2"), (2, "e", "c3"),          # c2 split in two
+        (2, "x", "c9"), (2, "y", "c9"),          # brand new
+    ]
+    df = spark.createDataFrame(rows, "snapshot_ts int, member string, component string")
+    got = {
+        (r.snapshot_ts, r.component): (r.prev_component, r.overlap, r.jaccard, r.status)
+        for r in cluster_evolution(df, jaccard_threshold=0.6).collect()
+    }
+    assert got[(1, "c1")] == (None, None, None, "new")
+    assert got[(1, "c2")] == (None, None, None, "new")
+    assert got[(2, "c1")] == ("c1", 3, 0.75, "continual")   # grew by f
+    assert got[(2, "c2")] == ("c2", 1, 0.5, "changed")      # split half
+    assert got[(2, "c3")] == ("c2", 1, 0.5, "changed")
+    assert got[(2, "c9")] == (None, None, None, "new")
