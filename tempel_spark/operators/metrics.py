@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "mean_reciprocal_rank",
     "pairwise_f1",
     "eval_labeled_pairs",
     "cluster_canonical_names",
@@ -207,6 +208,35 @@ def acc_at_k(
             F.avg(F.when(F.col("gold_rank") <= k, 1).otherwise(0)).alias(f"acc_at_{k}")
             for k in ks
         ],
+    )
+
+
+def mean_reciprocal_rank(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    correct_col: str = "correct",
+    rank_col: str = "rank",
+    group_cols: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """MRR over pre-ranked retrieval output (e.g. `bm25_topk`): each
+    query contributes 1/rank of its FIRST correct hit, and 0 when no
+    correct hit survives the top-k cut — every query counts, misses
+    are not dropped (same every-query-in-the-denominator rule as
+    acc_at_k). One aggregation per group; no re-sorting (the input
+    already carries the rank the retriever assigned).
+
+    Output: group_cols…, n_queries, mrr."""
+    groups = group_cols or []
+    per_q = ranked.groupBy(*groups, query_col).agg(
+        F.min(F.when(F.col(correct_col), F.col(rank_col))).alias("_gr")
+    )
+    return per_q.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.avg(F.when(F.col("_gr").isNotNull(), 1.0 / F.col("_gr")).otherwise(0.0)),
+            round_dp,
+        ).alias("mrr"),
     )
 
 

@@ -721,3 +721,74 @@ def q_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         passages, queries, k=3, doc_id="passage_id", text_col="passage"
     ).select("query_id", "passage_id", "score", "rank")
+
+
+@register(
+    "q_bm25_mrr",
+    """
+    WITH tk AS (
+      SELECT doc_id, u.tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(toks) AS u(tok)
+      WHERE u.tok != ''),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS query
+      FROM documents ORDER BY doc_id LIMIT 5),
+    qt AS (
+      SELECT DISTINCT query_id, u.tok
+      FROM q, unnest(string_split(query, ' ')) AS u(tok)
+      WHERE u.tok != ''),
+    sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.0 + 1.2))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qt ON tf.tok = qt.tok
+      JOIN dfreq ON dfreq.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM sc),
+    top AS (SELECT * FROM ranked WHERE rank <= 5),
+    perq AS (
+      SELECT query_id,
+             min(CASE WHEN doc_id = query_id THEN rank END) AS gold_rank
+      FROM top GROUP BY query_id)
+    SELECT count(*)::bigint AS n_queries,
+           round(avg(coalesce(1.0 / gold_rank, 0.0)), 6) AS mrr
+    FROM perq
+    """,
+)
+def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-retrieval MRR — each corpus-derived query's gold document
+    is its own source; BM25 must rank it first. Composes bm25_topk
+    with mean_reciprocal_rank (misses count 0, every query in the
+    denominator)."""
+    from tempel_spark.operators.metrics import mean_reciprocal_rank
+    from tempel_spark.operators.retrieval import bm25_topk
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = (
+        d.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("query"),
+        )
+    )
+    ranked = bm25_topk(d, queries, k=5).withColumn(
+        "correct", F.col("doc_id") == F.col("query_id")
+    )
+    return mean_reciprocal_rank(ranked)

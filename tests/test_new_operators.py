@@ -682,3 +682,20 @@ def test_cluster_evolution(spark):
     assert got[(2, "c2")] == ("c2", 1, 0.5, "changed")      # split half
     assert got[(2, "c3")] == ("c2", 1, 0.5, "changed")
     assert got[(2, "c9")] == (None, None, None, "new")
+
+
+def test_mean_reciprocal_rank(spark):
+    """MRR: first correct hit per query, misses count 0 and stay in
+    the denominator: ranks 1, 3, miss -> (1 + 1/3 + 0)/3."""
+    from tempel_spark.operators.metrics import mean_reciprocal_rank
+
+    ranked = spark.createDataFrame(
+        [
+            ("q1", 1, True), ("q1", 2, False),
+            ("q2", 1, False), ("q2", 2, False), ("q2", 3, True), ("q2", 4, True),
+            ("q3", 1, False), ("q3", 2, False),
+        ],
+        "query_id string, rank int, correct boolean",
+    )
+    row = mean_reciprocal_rank(ranked).collect()[0]
+    assert (row.n_queries, row.mrr) == (3, round((1 + 1 / 3 + 0) / 3, 6))
