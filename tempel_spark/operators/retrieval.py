@@ -44,16 +44,23 @@ __all__ = [
 ]
 
 
-def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, term, tf, dl): whitespace-token term frequencies plus the
-    document length in tokens. One explode + one aggregation; empty /
-    NULL texts yield no rows (a 0-length doc has no postings)."""
+def doc_term_freqs(
+    docs: DataFrame, id_col: str, text_col: str, with_dl: bool = True
+) -> DataFrame:
+    """(doc, term, tf[, dl]): whitespace-token term frequencies, plus
+    the document length in tokens when `with_dl`. One explode + one
+    token-stream aggregation; dl derives from the ALREADY-aggregated
+    tf frame (sum of tf per doc) — never a second explode over the
+    corpus. Empty / NULL texts yield no rows (a 0-length doc has no
+    postings)."""
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    if not with_dl:
+        return tf
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     return tf.join(dl, id_col)
 
 
@@ -76,12 +83,11 @@ def bm25_scores(
     simplification; repeat-weighting is a multiply-by-qtf away).
     Output: (query_id, doc_id, score) — score rounded to `round_dp`.
     """
-    postings = doc_term_freqs(docs, doc_id, text_col)
-    # document frequency per term + corpus stats, both posting-derived
-    df_ = postings.groupBy("term").agg(F.countDistinct(doc_id).alias("df"))
-    stats = postings.select(doc_id, "dl").distinct().agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    tf = doc_term_freqs(docs, doc_id, text_col, with_dl=False)
+    dl = tf.groupBy(doc_id).agg(F.sum("tf").alias("dl"))
+    # corpus stats are the ONLY whole-corpus reduction (two scalars —
+    # a production deployment precomputes/caches them with the index)
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     qterms = (
         queries.select(
             F.col(query_id), F.explode(F.split(F.col(query_col), " ")).alias("term")
@@ -89,6 +95,10 @@ def bm25_scores(
         .filter(F.col("term") != "")
         .distinct()
     )
+    # prune FIRST: everything downstream — df counting included — runs
+    # on the posting lists of query terms only, never the vocabulary
+    pruned = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_ = pruned.groupBy("term").agg(F.countDistinct(doc_id).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -97,8 +107,9 @@ def bm25_scores(
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        postings.join(F.broadcast(qterms), "term")  # inverted-index probe
-        .join(F.broadcast(df_.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        pruned.join(F.broadcast(qterms), "term")  # inverted-index probe
+        .join(dl, doc_id)  # candidate-doc-scale, not corpus-scale
+        .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id, doc_id)
         .agg(F.round(F.sum(idf * tf_part), round_dp).alias("score"))
