@@ -207,6 +207,9 @@ def sorted_neighborhood_pairs(
     group_cols: list[str] | None = None,
     payload_cols: list[str] | None = None,
     bucket_prefix: int = 2,
+    bucket_max_rows: int = 100_000,
+    max_deepen_rounds: int = 3,
+    max_offset_broadcast: int = 1_000_000,
 ) -> DataFrame:
     """Sorted-neighborhood blocking — the classic ER candidate
     generator the alias/LSH families don't cover: order records by a
@@ -231,11 +234,26 @@ def sorted_neighborhood_pairs(
     pure function of the data: same output at any core count, any
     plan instantiation, any task retry.
 
-    Worst case (every key shares one prefix) degrades to the classic
-    one-task-per-group sort — raise `bucket_prefix` if a vocabulary
-    is that concentrated. Non-string keys skip bucketing entirely
-    (prefix order is only sound for strings) and take the classic
-    per-group window.
+    Skew: a bucket exceeding `bucket_max_rows` rows is adaptively
+    DEEPENED — its keys re-bucket on a prefix twice as long, up to
+    `max_deepen_rounds` doublings (p, 2p, 4p, 8p chars at the default
+    p=2). Variable-length prefixes stay order-consistent (each label
+    is a prefix of its keys, and prefix_L is monotone in the key), so
+    the rank remains a pure value function of the data — same output
+    at any core count. The only irreducible residue is keys IDENTICAL
+    through `bucket_prefix << max_deepen_rounds` chars, which no
+    prefix scheme can split (they tie on the sort key anyway). The
+    deepening decision itself depends only on data values and
+    parameters, never on partitioning. Non-string keys skip bucketing
+    entirely (prefix order is only sound for strings) and take the
+    classic ONE-TASK-PER-GROUP window — fine for small groups, a
+    deliberate serial fallback otherwise.
+
+    Driver safety: the per-(group, bucket) offset frame is broadcast
+    only while it holds ≤ `max_offset_broadcast` rows — bounded by
+    |groups| × |distinct prefixes|, so high-cardinality `group_cols`
+    can make it big. Past the bound the offsets join as a regular
+    (shuffled) join instead of a driver-resident broadcast.
 
     Output: group_cols…, id_a, id_b, key_a, key_b [, payload_a/b].
     """
@@ -271,9 +289,41 @@ def sorted_neighborhood_pairs(
     from pyspark.sql.types import StringType
 
     if isinstance(base.schema["key_a"].dataType, StringType):
-        rp = base.withColumn(
-            "_bkt", F.substring(F.coalesce(F.col("key_a"), F.lit("")), 1, bucket_prefix)
-        )
+        safe_key = F.coalesce(F.col("key_a"), F.lit(""))
+        rp = base.withColumn("_bkt", F.substring(safe_key, 1, bucket_prefix))
+        # adaptive deepening: any (group, bucket) heavier than
+        # bucket_max_rows re-buckets its keys on a prefix twice as
+        # long. Each round is one hash agg over bucket LABELS (small)
+        # plus one broadcast-joined flag — the label stays a pure
+        # value function of the key, so determinism is preserved by
+        # construction (see docstring).
+        depth = bucket_prefix
+        for _ in range(max_deepen_rounds):
+            heavy = (
+                rp.groupBy(*groups, "_bkt")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > bucket_max_rows)
+                .select(*groups, "_bkt", F.lit(True).alias("_deepen"))
+            )
+            # heavy is tiny by construction (≤ |rows| / bucket_max_rows
+            # labels) — materialize it eagerly so the emptiness check
+            # and the join below share one computation, and stop as
+            # soon as no bucket is overweight (the common case pays
+            # exactly one label-count pass)
+            heavy = heavy.localCheckpoint(eager=True)
+            if heavy.isEmpty():
+                break
+            depth *= 2
+            rp = (
+                rp.join(F.broadcast(heavy), [*groups, "_bkt"], "left")
+                .withColumn(
+                    "_bkt",
+                    F.when(
+                        F.col("_deepen"), F.substring(safe_key, 1, depth)
+                    ).otherwise(F.col("_bkt")),
+                )
+                .drop("_deepen")
+            )
         w_local = Window.partitionBy(*groups, "_bkt").orderBy(
             F.col("key_a").asc(), F.col("id_a").asc()
         )
@@ -287,8 +337,15 @@ def sorted_neighborhood_pairs(
         off = cnt.withColumn(
             "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
         ).drop("_n")
+        # broadcast is a driver/executor memory cliff when groups ×
+        # buckets is huge — past the bound, fall back to a shuffled
+        # join. Materialize once (executor-resident) so the size check
+        # and the rank join share the computation.
+        off = off.localCheckpoint(eager=True)
+        if off.limit(max_offset_broadcast + 1).count() <= max_offset_broadcast:
+            off = F.broadcast(off)
         ranked = (
-            rp.join(F.broadcast(off), [*groups, "_bkt"])
+            rp.join(off, [*groups, "_bkt"])
             .withColumn("_r", F.col("_lr") + F.col("_off"))
             .drop("_bkt", "_lr", "_off")
         )

@@ -53,15 +53,23 @@ def strict_majority(
         F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
     ).alias("n_votes")
     g = df.groupBy(*group_cols, cand_col).agg(agg)
+    # Tie detection must be deterministic under any partitioning: a
+    # float weight_col sums in a Spark-chosen order, so exact equality
+    # on the raw double can flip across retries. Compare (argmax AND
+    # tie count) on a 6-dp rounding — the repo-wide round-before-compare
+    # rule (bm25 / tfidf / adaptive-probe costs). Integer counts pass
+    # through rounding unchanged.
+    cmp_votes = F.round(F.col("n_votes").cast("double"), 6)
     w = Window.partitionBy(*group_cols)
     return (
-        g.withColumn("_max", F.max("n_votes").over(w))
+        g.withColumn("_cmp", cmp_votes)
+        .withColumn("_max", F.max("_cmp").over(w))
         .withColumn(
             "_n_top",
-            F.sum(F.when(F.col("n_votes") == F.col("_max"), 1).otherwise(0)).over(w),
+            F.sum(F.when(F.col("_cmp") == F.col("_max"), 1).otherwise(0)).over(w),
         )
-        .filter((F.col("n_votes") == F.col("_max")) & (F.col("_n_top") == 1))
-        .drop("_max", "_n_top")
+        .filter((F.col("_cmp") == F.col("_max")) & (F.col("_n_top") == 1))
+        .drop("_cmp", "_max", "_n_top")
     )
 
 
@@ -218,19 +226,31 @@ def mean_reciprocal_rank(
     rank_col: str = "rank",
     group_cols: list[str] | None = None,
     round_dp: int = 6,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """MRR over pre-ranked retrieval output (e.g. `bm25_topk`): each
     query contributes 1/rank of its FIRST correct hit, and 0 when no
-    correct hit survives the top-k cut — every query counts, misses
-    are not dropped (same every-query-in-the-denominator rule as
-    acc_at_k). One aggregation per group; no re-sorting (the input
-    already carries the rank the retriever assigned).
+    correct hit survives the top-k cut.
+
+    Every-query-in-the-denominator semantics require the caller to say
+    what "every query" means: a retriever like `bm25_topk` emits ZERO
+    rows for a query sharing no term with any document, and such
+    queries are invisible to `ranked`. Pass the full query universe as
+    ``queries`` (one row per (group…, query)) and zero-hit queries are
+    left-joined back in, contributing 0 to the average and 1 to
+    n_queries. Without ``queries``, only queries PRESENT in `ranked`
+    are counted — fine when the retriever guarantees output per query
+    (e.g. brute-force top-k), wrong for sparse retrieval over hard
+    queries.
 
     Output: group_cols…, n_queries, mrr."""
     groups = group_cols or []
     per_q = ranked.groupBy(*groups, query_col).agg(
         F.min(F.when(F.col(correct_col), F.col(rank_col))).alias("_gr")
     )
+    if queries is not None:
+        universe = queries.select(*groups, query_col).distinct()
+        per_q = universe.join(per_q, [*groups, query_col], "left")
     return per_q.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.round(

@@ -78,9 +78,11 @@ def bm25_scores(
     """BM25 relevance of every (query, doc) pair sharing ≥1 term.
 
     Okapi BM25 with the standard Robertson-Sparck Jones idf,
-    ``ln(1 + (N - df + 0.5) / (df + 0.5))``, over DISTINCT query
-    terms (repeated terms in a query count once — documented
-    simplification; repeat-weighting is a multiply-by-qtf away).
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``; a term repeated in the
+    query weights its contribution by its query term frequency —
+    score = Σ_t qtf(t)·idf(t)·tf_part(t, d), the standard qtf·idf·tf
+    form (qtf unsaturated, i.e. the k3→∞ limit of the full Okapi
+    query-side saturation).
     Output: (query_id, doc_id, score) — score rounded to `round_dp`.
     """
     tf = doc_term_freqs(docs, doc_id, text_col, with_dl=False)
@@ -93,7 +95,8 @@ def bm25_scores(
             F.col(query_id), F.explode(F.split(F.col(query_col), " ")).alias("term")
         )
         .filter(F.col("term") != "")
-        .distinct()
+        .groupBy(query_id, "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
     )
     # prune FIRST: everything downstream — df counting included — runs
     # on the posting lists of query terms only, never the vocabulary
@@ -112,7 +115,7 @@ def bm25_scores(
         .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id, doc_id)
-        .agg(F.round(F.sum(idf * tf_part), round_dp).alias("score"))
+        .agg(F.round(F.sum(F.col("qtf") * idf * tf_part), round_dp).alias("score"))
     )
     return scored
 

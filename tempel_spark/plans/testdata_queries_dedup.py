@@ -523,17 +523,23 @@ def q_excise_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
     q AS (
-      SELECT doc_id AS query_id,
-             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS query
-      FROM documents ORDER BY doc_id LIMIT 5),
+      (SELECT doc_id AS query_id,
+              array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS query
+       FROM documents ORDER BY doc_id LIMIT 5)
+      UNION ALL
+      (SELECT -1 AS query_id, t[1] || ' ' || t[1] || ' ' || t[2] AS query
+       FROM (SELECT string_split(text, ' ') AS t
+             FROM documents ORDER BY doc_id LIMIT 1))),
     qt AS (
-      SELECT DISTINCT query_id, u.tok
+      SELECT query_id, u.tok, count(*) AS qtf
       FROM q, unnest(string_split(query, ' ')) AS u(tok)
-      WHERE u.tok != ''),
+      WHERE u.tok != ''
+      GROUP BY query_id, u.tok),
     sc AS (
       SELECT qt.query_id, tf.doc_id,
              round(sum(
-               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               qt.qtf
+               * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                * (tf * (1.0 + 1.2))
                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
              ), 6) AS score
@@ -556,12 +562,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search via an inverted-index equi-join (only query terms' posting
     lists are touched; the query side broadcasts). Queries are
     corpus-derived and deterministic: the first 3 tokens of the 5
-    lowest-id documents. Scores round to 6 dp inside the operator so
-    double-summation order never shows (see operators/retrieval.py)."""
+    lowest-id documents, plus one REPEATED-TERM query (query_id −1:
+    the lowest-id doc's first token twice + its second token) that
+    exercises the qtf weighting — a doubled term must contribute
+    exactly twice its single-occurrence BM25 mass. Scores round to
+    6 dp inside the operator so double-summation order never shows
+    (see operators/retrieval.py)."""
     from tempel_spark.operators.retrieval import bm25_topk
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    queries = (
+    first3 = (
         d.orderBy("doc_id")
         .limit(5)
         .select(
@@ -569,6 +579,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("query"),
         )
     )
+    toks = F.split(F.col("text"), " ")
+    rep = (
+        d.orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.lit(-1).cast("long").alias("query_id"),
+            F.concat_ws(
+                " ", toks.getItem(0), toks.getItem(0), toks.getItem(1)
+            ).alias("query"),
+        )
+    )
+    queries = first3.unionByName(rep)
     return bm25_topk(d, queries, k=5).select("query_id", "doc_id", "score", "rank")
 
 
@@ -662,13 +684,15 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS query
       FROM documents ORDER BY doc_id LIMIT 5),
     qt AS (
-      SELECT DISTINCT query_id, u.tok
+      SELECT query_id, u.tok, count(*) AS qtf
       FROM q, unnest(string_split(query, ' ')) AS u(tok)
-      WHERE u.tok != ''),
+      WHERE u.tok != ''
+      GROUP BY query_id, u.tok),
     sc AS (
       SELECT qt.query_id, tf.passage_id,
              round(sum(
-               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               qt.qtf
+               * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                * (tf * (1.0 + 1.2))
                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
              ), 6) AS score
@@ -740,13 +764,15 @@ def q_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS query
       FROM documents ORDER BY doc_id LIMIT 5),
     qt AS (
-      SELECT DISTINCT query_id, u.tok
+      SELECT query_id, u.tok, count(*) AS qtf
       FROM q, unnest(string_split(query, ' ')) AS u(tok)
-      WHERE u.tok != ''),
+      WHERE u.tok != ''
+      GROUP BY query_id, u.tok),
     sc AS (
       SELECT qt.query_id, tf.doc_id,
              round(sum(
-               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               qt.qtf
+               * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                * (tf * (1.0 + 1.2))
                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
              ), 6) AS score
@@ -763,9 +789,10 @@ def q_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sc),
     top AS (SELECT * FROM ranked WHERE rank <= 5),
     perq AS (
-      SELECT query_id,
-             min(CASE WHEN doc_id = query_id THEN rank END) AS gold_rank
-      FROM top GROUP BY query_id)
+      SELECT q.query_id,
+             min(CASE WHEN doc_id = q.query_id THEN rank END) AS gold_rank
+      FROM q LEFT JOIN top ON top.query_id = q.query_id
+      GROUP BY q.query_id)
     SELECT count(*)::bigint AS n_queries,
            round(avg(coalesce(1.0 / gold_rank, 0.0)), 6) AS mrr
     FROM perq
@@ -774,8 +801,10 @@ def q_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-retrieval MRR — each corpus-derived query's gold document
     is its own source; BM25 must rank it first. Composes bm25_topk
-    with mean_reciprocal_rank (misses count 0, every query in the
-    denominator)."""
+    with mean_reciprocal_rank over the FULL query universe (the
+    `queries` frame is passed through, so a query sharing no term
+    with any document — impossible here, but the contract is the
+    point — would contribute 0 and still count in n_queries)."""
     from tempel_spark.operators.metrics import mean_reciprocal_rank
     from tempel_spark.operators.retrieval import bm25_topk
 
@@ -791,4 +820,4 @@ def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = bm25_topk(d, queries, k=5).withColumn(
         "correct", F.col("doc_id") == F.col("query_id")
     )
-    return mean_reciprocal_rank(ranked)
+    return mean_reciprocal_rank(ranked, queries=queries)

@@ -407,6 +407,21 @@ class Catalog:
         os.makedirs(final, exist_ok=True)
         spec = self._get_upsert_spec(name)
         if spec is None:
+            # Refuse to layer a bucketed upsert layout over a table
+            # previously published via write(): the old root-level
+            # parquet files would be invisible to the anti-join (every
+            # key looks "fresh" → counts double-fold) and a later
+            # read() hits Spark's conflicting-directory-structure
+            # error. State migration (read old + fold as delta into a
+            # new name) or delete() is the caller's explicit move.
+            import glob as _glob
+
+            if _glob.glob(f"{_glob.escape(final)}/*.parquet"):
+                raise ValueError(
+                    f"upsert_fold target {name!r} already holds non-bucketed "
+                    f"data (root-level parquet without an upsert spec) — "
+                    "delete() it or migrate the legacy state explicitly"
+                )
             spec = {"key_cols": list(key_cols), "n_parts": n_parts}
             self._atomic_write_json(self._ups_spec_path(name), spec)
         elif spec != {"key_cols": list(key_cols), "n_parts": n_parts}:
@@ -470,6 +485,14 @@ class Catalog:
         # frame lives on a cloned session, and the temp view must be
         # visible to the session executing the MERGE
         sp = delta.sparkSession
+        # Match the parquet fold semantics on duplicate-key deltas: the
+        # parquet path groupBy-sums the delta with prior state, so a
+        # delta carrying the same key twice folds to one row. Unaggregated,
+        # the CREATE path would write duplicate table rows and a later
+        # MERGE with a dup-key source throws Iceberg's cardinality error.
+        delta = delta.groupBy(*key_cols).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
         tbl = f"ckpt_{name}"
         mid = json.dumps(marker, sort_keys=True)
         mid_sql = mid.replace("'", "''")

@@ -571,6 +571,58 @@ def test_sorted_neighborhood_parallelism_invariant(spark):
     assert len(outs[0]) > 1000  # non-trivial corpus actually paired
 
 
+def test_sorted_neighborhood_adaptive_deepening(spark):
+    """The single-shared-prefix cliff: every key starts 'zz', so the
+    2-char bucketing alone would put the whole group in ONE task.
+    With bucket_max_rows exceeded, buckets deepen adaptively (2→4→8
+    chars); the output must equal the exact Python-computed SN pairs
+    and stay byte-identical across shuffle/input partitionings —
+    variable-length prefix labels sort consistently with full keys,
+    keeping the rank a pure value function."""
+    from tempel_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [("zzname%04d" % (i * 7919 % 500), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "name string, id long")
+    # exact ground truth: rank by (name, id), pair rank r with r+1, r+2
+    srt = sorted(rows)
+    expected = sorted(
+        (srt[i][1], srt[i + j][1])
+        for i in range(len(srt))
+        for j in (1, 2)
+        if i + j < len(srt)
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for nshuf, nin in ((3, 2), (29, 13)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(nshuf))
+            out = sorted_neighborhood_pairs(
+                df.repartition(nin), "name", "id", window=3,
+                bucket_max_rows=50, max_deepen_rounds=3,
+            )
+            outs.append(sorted((r.id_a, r.id_b) for r in out.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert outs[0] == expected
+    assert outs[1] == expected
+
+
+def test_upsert_fold_refuses_legacy_layout(spark, tmp_path):
+    """upsert_fold over a table previously published via write() must
+    fail loudly: the root-level parquet is invisible to the keyed
+    anti-fold (counts would silently double) and a later read() hits
+    Spark's conflicting-directory-structure error."""
+    import pytest
+
+    from tempel_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "ckpt"))
+    legacy = spark.createDataFrame([("a", 1)], "k string, n long")
+    cat.write(legacy, "st")
+    with pytest.raises(ValueError, match="non-bucketed"):
+        cat.upsert_fold(legacy, "st", ("k",), ("n",), {"m": 1}, n_parts=4)
+
+
 def test_excise_spans(spark):
     """Excision: covered tokens drop (overlaps union), untouched text
     round-trips byte-identical including runs of spaces, fully-covered
@@ -603,7 +655,9 @@ def test_bm25_topk(spark):
     docs = spark.createDataFrame(
         [(1, "a b a"), (2, "b c"), (3, "c c c c")], "doc_id long, text string"
     )
-    queries = spark.createDataFrame([(10, "a c")], "query_id long, query string")
+    queries = spark.createDataFrame(
+        [(10, "a c"), (11, "a a c")], "query_id long, query string"
+    )
     got = {
         (r.query_id, r.doc_id): (r.score, r.rank)
         for r in bm25_topk(docs, queries, k=5).collect()
@@ -619,9 +673,15 @@ def test_bm25_topk(spark):
         (10, 1): round(idf(1) * tfp(2, 3), 6),   # 'a' in d1
         (10, 3): round(idf(2) * tfp(4, 4), 6),   # 'c' in d3
         (10, 2): round(idf(2) * tfp(1, 2), 6),   # 'c' in d2
+        # repeated-term query: 'a' carries qtf=2 — exactly twice its
+        # single-occurrence mass (standard qtf*idf*tf form)
+        (11, 1): round(2 * idf(1) * tfp(2, 3), 6),
+        (11, 3): round(idf(2) * tfp(4, 4), 6),
+        (11, 2): round(idf(2) * tfp(1, 2), 6),
     }
     assert {k: v[0] for k, v in got.items()} == exp
     assert [got[(10, d)][1] for d in (1, 3, 2)] == [1, 2, 3]  # rank order
+    assert [got[(11, d)][1] for d in (1, 3, 2)] == [1, 2, 3]
 
 
 def test_tfidf_keywords(spark):
@@ -699,3 +759,33 @@ def test_mean_reciprocal_rank(spark):
     )
     row = mean_reciprocal_rank(ranked).collect()[0]
     assert (row.n_queries, row.mrr) == (3, round((1 + 1 / 3 + 0) / 3, 6))
+
+    # zero-HIT queries (present in ranked, no correct row) differ from
+    # zero-ROW queries (absent from ranked entirely — e.g. a sparse
+    # retriever emitting nothing). Passing the query universe pulls the
+    # latter back into the denominator; without it they silently vanish.
+    universe = spark.createDataFrame(
+        [("q1",), ("q2",), ("q3",), ("q4",)], "query_id string"
+    )
+    row = mean_reciprocal_rank(ranked, queries=universe).collect()[0]
+    assert (row.n_queries, row.mrr) == (4, round((1 + 1 / 3 + 0 + 0) / 4, 6))
+
+
+def test_strict_majority_float_ties(spark):
+    """Float weights: tie detection compares 6-dp-rounded sums so the
+    verdict is stable under any double addition order — two candidates
+    whose weights sum to the same value through different additions
+    must BOTH read as tied (group abstains), and a clear winner still
+    wins."""
+    from tempel_spark.operators.metrics import strict_majority
+
+    rows = [
+        # g1: cand x sums 0.1+0.2, cand y sums 0.3 -> tie, abstain
+        ("g1", "x", 0.1), ("g1", "x", 0.2), ("g1", "y", 0.3),
+        # g2: clear winner
+        ("g2", "x", 0.5), ("g2", "y", 0.3),
+    ]
+    df = spark.createDataFrame(rows, "grp string, cand string, w double")
+    got = {(r.grp, r.cand) for r in
+           strict_majority(df, ["grp"], "cand", weight_col="w").collect()}
+    assert got == {("g2", "x")}
