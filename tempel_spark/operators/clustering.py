@@ -313,15 +313,31 @@ def cluster_evolution(
     by definition. Input is a membership partition per snapshot:
     (snapshot, member, component), one component per member.
 
+    Best-overlap alone can't tell a SPLIT from a SHRINK (both read
+    'changed' with one predecessor), so the full attribution rides
+    along:
+
+    * ``n_predecessors`` — distinct previous clusters contributing
+      ≥1 member (≥2 ⇒ this cluster is a MERGE of prior clusters);
+    * ``prev_component_2`` / ``overlap_2`` — the runner-up
+      predecessor (NULL when there is only one);
+    * ``n_split_into`` — how many current clusters chose this row's
+      best predecessor as THEIR best predecessor (≥2 ⇒ the
+      predecessor SPLIT; ==1 with low jaccard ⇒ a plain shrink or
+      membership churn).
+
     Spark shape: snapshot adjacency is a window over the DISTINCT
     snapshot list (tiny); the member carry-over join is member-keyed
     (corpus-partitioned, no skew beyond membership hot spots); the
     best-predecessor pick is a per-(snapshot, component) window
     argmax with deterministic ties (overlap desc, prev component
-    asc). No collects, no global sorts.
+    asc); the attribution columns are aggregates over the SAME
+    cluster-pair overlap frame (bounded by co-membership, never the
+    corpus). No collects, no global sorts.
 
     Output: (snapshot_col, comp_col, n_members, prev_component,
-    overlap, jaccard, status).
+    overlap, jaccard, status, n_predecessors, prev_component_2,
+    overlap_2, n_split_into).
     """
     snaps = df.select(snapshot_col).distinct()
     w_adj = Window.orderBy(snapshot_col)
@@ -349,7 +365,20 @@ def cluster_evolution(
     w_best = Window.partitionBy("_s", "_c").orderBy(
         F.col("overlap").desc(), F.col("_pc").asc()
     )
-    best = ov.withColumn("_rn", F.row_number().over(w_best)).filter(F.col("_rn") == 1)
+    ranked = ov.withColumn("_rn", F.row_number().over(w_best))
+    best = ranked.filter(F.col("_rn") == 1)
+    second = ranked.filter(F.col("_rn") == 2).select(
+        F.col("_s").alias(snapshot_col), F.col("_c").alias(comp_col),
+        F.col("_pc").alias("prev_component_2"), F.col("overlap").alias("overlap_2"),
+    )
+    npred = ov.groupBy("_s", "_c").agg(
+        F.count(F.lit(1)).alias("n_predecessors")
+    ).select(
+        F.col("_s").alias(snapshot_col), F.col("_c").alias(comp_col), "n_predecessors"
+    )
+    siblings = best.groupBy("_s", "_pc").agg(
+        F.count(F.lit(1)).alias("n_split_into")
+    ).select(F.col("_s").alias(snapshot_col), "_pc", "n_split_into")
     psz = sizes.select(
         F.col(snapshot_col).alias("_prev_snap"),
         F.col(comp_col).alias("_pc"),
@@ -367,6 +396,9 @@ def cluster_evolution(
             "left",
         )
         .join(psz, ["_prev_snap", "_pc"], "left")
+        .join(npred, [snapshot_col, comp_col], "left")
+        .join(second, [snapshot_col, comp_col], "left")
+        .join(siblings, [snapshot_col, "_pc"], "left")
         .withColumn(
             "jaccard",
             F.round(
@@ -384,6 +416,7 @@ def cluster_evolution(
         .select(
             snapshot_col, comp_col, "n_members",
             F.col("_pc").alias("prev_component"), "overlap", "jaccard", "status",
+            "n_predecessors", "prev_component_2", "overlap_2", "n_split_into",
         )
     )
     return out

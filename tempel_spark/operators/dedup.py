@@ -41,6 +41,7 @@ __all__ = [
     "embedding_dedup",
     "repeated_passages",
     "excise_spans",
+    "passage_dedup",
 ]
 
 
@@ -339,6 +340,105 @@ def repeated_passages(
         )
         .withColumn("n_tokens", F.col("span_end") - F.col("span_start") + n)
         .drop("_grp")
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Policy-complete substring dedup (Lee et al. 2022 semantics):
+    for every duplicated token-n-gram, KEEP the first occurrence
+    corpus-wide and excise all later ones. `repeated_passages` finds
+    spans and `excise_spans` cuts caller-chosen ranges; this operator
+    is the composed keep-first policy as one unit.
+
+    "First" is the lexicographic minimum of (id, position) — a pure
+    value function of the corpus, so the output is deterministic
+    under any partitioning, core count, or task retry. The pick is a
+    `min(struct(id, pos))` hash aggregation per gram hash —
+    map-side-combinable and skew-free (a viral boilerplate gram with
+    10^6 occurrences folds to one row without a single-partition
+    window; this is why it is NOT row_number over the gram).
+
+    Excision is token-level with a keep-override: a token is removed
+    iff some non-first occurrence covers it AND no first occurrence
+    covers it — the override is what guarantees the kept copy
+    survives INTACT even where later self-overlapping occurrences
+    (e.g. a run of identical tokens) cover its tokens.
+
+    Output: df columns + out_col + n_tokens_removed (same shape as
+    `excise_spans`).
+    """
+    tk = F.split(F.col(text_col), " ")
+    npos = F.size(tk) - (n - 1)
+    grams = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, n))),
+        ),
+    )
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("_p0", "_gh")).select(
+        id_col, (F.col("_p0") + 1).alias("pos"), "_gh"
+    )
+    dup = g.groupBy("_gh").agg(F.count(F.lit(1)).alias("_cnt")).filter(
+        F.col("_cnt") >= min_count
+    )
+    occ = g.join(dup.select("_gh"), "_gh")
+    first = occ.groupBy("_gh").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("_f")
+    )
+    occf = occ.join(first, "_gh").withColumn(
+        "_is_first",
+        (F.col("_f.i") == F.col(id_col)) & (F.col("_f.p") == F.col("pos")),
+    )
+    keep = (
+        occf.filter(F.col("_is_first"))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_keep"))
+    )
+    cut = (
+        occf.filter(~F.col("_is_first"))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_cut"))
+    )
+    joined = (
+        df.join(cut, id_col, "left").join(keep, id_col, "left").withColumn("_tk", tk)
+    )
+
+    def _covered(arr, i):
+        # token index i (0-based) covered by an occurrence starting at
+        # 1-based pos p iff p ≤ i+1 ≤ p+n−1; collect_list order is
+        # partition-dependent but exists() is order-insensitive
+        return F.coalesce(
+            F.exists(arr, lambda p: (i + 1 >= p) & (i + 1 <= p + (n - 1))),
+            F.lit(False),
+        )
+
+    kept = F.filter(
+        F.col("_tk"),
+        lambda t, i: ~(_covered(F.col("_cut"), i) & ~_covered(F.col("_keep"), i)),
+    )
+    return (
+        joined.withColumn("_kept", kept)
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.array_join(F.col("_kept"), " ")
+            ),
+        )
+        .withColumn(
+            "n_tokens_removed",
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.size("_tk") - F.size("_kept")
+            ),
+        )
+        .drop("_cut", "_keep", "_tk", "_kept")
     )
 
 

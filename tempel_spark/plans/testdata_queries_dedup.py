@@ -511,6 +511,64 @@ def q_excise_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_passage_dedup_end_to_end",
+    """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, u.pos::int AS pos,
+             array_to_string(list_slice(toks, u.pos::int, u.pos::int + 7), ' ') AS gram
+      FROM tk, LATERAL unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS u(pos)),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    occ AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN dup USING (gram)),
+    f1 AS (SELECT gram, min(doc_id) AS fd FROM occ GROUP BY gram),
+    f2 AS (
+      SELECT o.gram, f1.fd, min(o.pos) AS fp
+      FROM occ o JOIN f1 ON o.gram = f1.gram AND o.doc_id = f1.fd
+      GROUP BY o.gram, f1.fd),
+    keepocc AS (SELECT fd AS doc_id, fp AS pos, gram FROM f2),
+    cutocc AS (
+      SELECT o.doc_id, o.pos
+      FROM occ o LEFT JOIN keepocc k
+        ON k.gram = o.gram AND k.doc_id = o.doc_id AND k.pos = o.pos
+      WHERE k.gram IS NULL),
+    allpos AS (
+      SELECT doc_id, u.pos::int AS pos, toks[u.pos::int] AS tok, len(toks) AS n_toks
+      FROM tk, LATERAL unnest(generate_series(1, len(toks))) AS u(pos)),
+    kept AS (
+      SELECT a.doc_id, a.pos, a.tok, a.n_toks
+      FROM allpos a
+      WHERE NOT (
+        EXISTS (SELECT 1 FROM cutocc c
+                WHERE c.doc_id = a.doc_id AND a.pos BETWEEN c.pos AND c.pos + 7)
+        AND NOT EXISTS (SELECT 1 FROM keepocc k
+                        WHERE k.doc_id = a.doc_id AND a.pos BETWEEN k.pos AND k.pos + 7))),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+             any_value(n_toks) - count(*) AS n_tokens_removed
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+           coalesce(a.n_tokens_removed, len(t.toks)) AS n_tokens_removed
+    FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def q_passage_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first passage dedup end-to-end (Lee-et-al. policy): every
+    duplicated 8-gram passage keeps exactly its first corpus-wide
+    occurrence — lexicographic (doc_id, pos) — and loses the rest,
+    with the kept copy protected from excision by overlapping later
+    occurrences. Deterministic under any partitioning (the
+    first-occurrence pick is a min(struct) aggregation, not a
+    window). The Spark side hashes grams (xxhash64, the 100 TB path);
+    the oracle compares gram strings."""
+    from tempel_spark.operators.dedup import passage_dedup
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return passage_dedup(d, "doc_id", "text", n=8, min_count=2).select(
+        "doc_id", "text_clean", "n_tokens_removed"
+    )
+
+
+@register(
     "q_bm25_topk",
     """
     WITH tk AS (

@@ -1110,22 +1110,32 @@ def q_strict_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN adj ON adj.nxt = a.snap_year
       JOIN asg p ON p.snap_year = adj.prv AND p.user_id = a.user_id
       GROUP BY s, c, pc),
-    best AS (
-      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY s, c
-                                                  ORDER BY overlap DESC, pc) AS rn
-                     FROM ov) WHERE rn = 1),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY s, c
+                                   ORDER BY overlap DESC, pc) AS rn
+      FROM ov),
+    best AS (SELECT * FROM rk WHERE rn = 1),
+    scnd AS (SELECT s, c, pc AS prev_component_2, overlap AS overlap_2
+             FROM rk WHERE rn = 2),
+    npred AS (SELECT s, c, count(*) AS n_predecessors FROM ov GROUP BY s, c),
+    sib AS (SELECT s, pc, count(*) AS n_split_into FROM best GROUP BY s, pc),
     j AS (
       SELECT z.snap_year, z.component, z.n_members,
              b.pc AS prev_component, b.overlap,
-             round(b.overlap / (z.n_members + ps.n_members - b.overlap), 6) AS jaccard
+             round(b.overlap / (z.n_members + ps.n_members - b.overlap), 6) AS jaccard,
+             np.n_predecessors, s2.prev_component_2, s2.overlap_2, sb.n_split_into
       FROM sizes z
       LEFT JOIN best b ON b.s = z.snap_year AND b.c = z.component
       LEFT JOIN adj ON adj.nxt = z.snap_year
-      LEFT JOIN sizes ps ON ps.snap_year = adj.prv AND ps.component = b.pc)
+      LEFT JOIN sizes ps ON ps.snap_year = adj.prv AND ps.component = b.pc
+      LEFT JOIN npred np ON np.s = z.snap_year AND np.c = z.component
+      LEFT JOIN scnd s2 ON s2.s = z.snap_year AND s2.c = z.component
+      LEFT JOIN sib sb ON sb.s = z.snap_year AND sb.pc = b.pc)
     SELECT snap_year, component, n_members, prev_component, overlap, jaccard,
            CASE WHEN overlap IS NULL THEN 'new'
                 WHEN jaccard >= 0.5 THEN 'continual'
-                ELSE 'changed' END AS status
+                ELSE 'changed' END AS status,
+           n_predecessors, prev_component_2, overlap_2, n_split_into
     FROM j
     """,
 )
@@ -1134,7 +1144,10 @@ def q_cluster_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     continual-vs-new entity semantics over consecutive yearly cuts:
     users cluster by their modal event type per year; each year's
     cluster is matched to its best-overlap predecessor and labeled
-    new / continual / changed (Jaccard-thresholded)."""
+    new / continual / changed (Jaccard-thresholded). Full transition
+    attribution rides along: predecessor count + runner-up (merge
+    evidence) and best-predecessor fan-out (split evidence), so a
+    split is distinguishable from a shrink."""
     from tempel_spark.operators.clustering import cluster_evolution
 
     ev = t(spark, sf_dir, "events")

@@ -644,6 +644,50 @@ def test_excise_spans(spark):
     assert got[4] == (None, None)
 
 
+def test_passage_dedup_keep_first(spark):
+    """Keep-first policy: the boilerplate 8-gram survives ONLY in the
+    lowest-(doc_id, pos) document; later occurrences are excised even
+    when they self-overlap the kept copy (identical-token runs);
+    untouched docs round-trip; output is partitioning-invariant."""
+    from tempel_spark.operators.dedup import passage_dedup
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, boiler + " x y"),            # first occurrence -> kept
+        (2, "p q " + boiler),            # later -> excised
+        (3, boiler + " z w"),            # later -> excised
+        (4, " ".join(["a"] * 12)),       # self-overlap: keep first 8 a's
+        (5, "unique tokens only here"),  # untouched
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.text_clean, r.n_tokens_removed)
+           for r in passage_dedup(df, "doc_id", "text", n=8, min_count=2).collect()}
+    assert got[1] == (boiler + " x y", 0)
+    assert got[2] == ("p q", 8)
+    assert got[3] == ("z w", 8)
+    assert got[4] == (" ".join(["a"] * 8), 4)
+    assert got[5] == ("unique tokens only here", 0)
+    assert got[6] == (None, None)
+    # exactly one occurrence of the duplicated passage survives
+    survivors = sum(
+        1 for txt, _ in got.values() if txt is not None and boiler in txt
+    )
+    assert survivors == 1
+
+    # partitioning invariance: same bytes at different parallelism
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        got2 = {r.doc_id: (r.text_clean, r.n_tokens_removed)
+                for r in passage_dedup(
+                    df.repartition(5), "doc_id", "text", n=8, min_count=2
+                ).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert got2 == got
+
+
 def test_bm25_topk(spark):
     """BM25 against hand-computed Okapi scores on a 3-doc corpus:
     idf = ln(1 + (N-df+0.5)/(df+0.5)), tf part with k1=1.2, b=0.75;
@@ -730,6 +774,8 @@ def test_cluster_evolution(spark):
         (2, "a", "c1"), (2, "b", "c1"), (2, "c", "c1"), (2, "f", "c1"),
         (2, "d", "c2"), (2, "e", "c3"),          # c2 split in two
         (2, "x", "c9"), (2, "y", "c9"),          # brand new
+        (3, "d", "c4"), (3, "e", "c4"),          # c2+c3 MERGE back
+        (3, "a", "c1"), (3, "b", "c1"),
     ]
     df = spark.createDataFrame(rows, "snapshot_ts int, member string, component string")
     got = {
@@ -742,6 +788,24 @@ def test_cluster_evolution(spark):
     assert got[(2, "c2")] == ("c2", 1, 0.5, "changed")      # split half
     assert got[(2, "c3")] == ("c2", 1, 0.5, "changed")
     assert got[(2, "c9")] == (None, None, None, "new")
+
+    # attribution: split vs shrink vs merge are now distinguishable
+    attr = {
+        (r.snapshot_ts, r.component):
+            (r.n_predecessors, r.prev_component_2, r.overlap_2, r.n_split_into)
+        for r in cluster_evolution(df, jaccard_threshold=0.6).collect()
+    }
+    # snapshot 2: c2 and c3 both trace to c2 -> the predecessor SPLIT
+    assert attr[(2, "c2")] == (1, None, None, 2)
+    assert attr[(2, "c3")] == (1, None, None, 2)
+    # c1 is a plain carry-over: one predecessor, sole heir
+    assert attr[(2, "c1")] == (1, None, None, 1)
+    # snapshot 3: c4 draws from BOTH c2 and c3 -> a MERGE (2
+    # predecessors, runner-up attributed; ties break pc asc so best
+    # is c2, runner-up c3)
+    assert got[(3, "c4")][:2] == ("c2", 1)
+    assert attr[(3, "c4")] == (2, "c3", 1, 1)
+    assert attr[(3, "c1")] == (1, None, None, 1)
 
 
 def test_mean_reciprocal_rank(spark):
