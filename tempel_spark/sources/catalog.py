@@ -73,6 +73,55 @@ def upsert_bucket_col(key_cols: tuple[str, ...], n_parts: int):
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_parts)).cast("int")
 
 
+def merge_fold_parts(
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    mid_sql: str,
+    q: str = "`",
+) -> dict:
+    """The MERGE-fold statement's logical components, dialect-quoted.
+
+    Factored out of `_upsert_fold_iceberg` so the statement LOGIC has
+    an executable check even where no iceberg-spark-runtime jar
+    exists (this sandbox has no network; the jar search — pyspark
+    jars dir, pip cache, ~/.m2, ~/.ivy2 — came up empty): the proxy
+    test in tests/test_iceberg_mode.py renders these exact parts into
+    DuckDB's dialect (DuckDB 1.0 predates MERGE INTO, so the
+    matched/not-matched branches become the equivalent guarded
+    UPDATE..FROM + anti-join INSERT) and value-checks fold semantics
+    against the parquet path. Keys join null-safely (`<=>`), the
+    matched branch is guarded by the row marker for retry
+    idempotence, and inserts stamp the marker."""
+    on = " AND ".join(f"t.{q}{c}{q} <=> s.{q}{c}{q}" for c in key_cols)
+    guard = f"t.{q}{_ROW_MARK}{q} IS DISTINCT FROM '{mid_sql}'"
+    sets = [f"t.{q}{c}{q} = t.{q}{c}{q} + s.{q}{c}{q}" for c in sum_cols]
+    sets.append(f"t.{q}{_ROW_MARK}{q} = '{mid_sql}'")
+    cols = [*key_cols, *sum_cols]
+    ins_cols = [f"{q}{c}{q}" for c in cols] + [f"{q}{_ROW_MARK}{q}"]
+    ins_vals = [f"s.{q}{c}{q}" for c in cols] + [f"'{mid_sql}'"]
+    return {"on": on, "guard": guard, "sets": sets,
+            "ins_cols": ins_cols, "ins_vals": ins_vals}
+
+
+def merge_fold_sql(
+    tbl: str,
+    view: str,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    mid_sql: str,
+) -> str:
+    """The Spark-dialect MERGE INTO statement `_upsert_fold_iceberg`
+    executes, built from `merge_fold_parts`."""
+    p = merge_fold_parts(key_cols, sum_cols, mid_sql)
+    return (
+        f"MERGE INTO {tbl} t USING {view} s ON {p['on']} "
+        f"WHEN MATCHED AND {p['guard']} "
+        f"THEN UPDATE SET {', '.join(p['sets'])} "
+        f"WHEN NOT MATCHED THEN INSERT ({', '.join(p['ins_cols'])}) "
+        f"VALUES ({', '.join(p['ins_vals'])})"
+    )
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     """True when the session's CURRENT catalog is Iceberg-backed —
     either the session catalog was replaced (spark_catalog =
@@ -509,17 +558,7 @@ class Catalog:
         view = f"_ups_delta_{uuid.uuid4().hex[:8]}"
         delta.createOrReplaceTempView(view)
         try:
-            on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in key_cols)
-            sets = ", ".join(f"t.`{c}` = t.`{c}` + s.`{c}`" for c in sum_cols)
-            cols = [*key_cols, *sum_cols]
-            ins_cols = ", ".join(f"`{c}`" for c in cols) + f", `{_ROW_MARK}`"
-            ins_vals = ", ".join(f"s.`{c}`" for c in cols) + f", '{mid_sql}'"
-            sp.sql(
-                f"MERGE INTO {tbl} t USING {view} s ON {on} "
-                f"WHEN MATCHED AND t.`{_ROW_MARK}` IS DISTINCT FROM '{mid_sql}' "
-                f"THEN UPDATE SET {sets}, t.`{_ROW_MARK}` = '{mid_sql}' "
-                f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
-            )
+            sp.sql(merge_fold_sql(tbl, view, key_cols, sum_cols, mid_sql))
             sp.sql(
                 f"ALTER TABLE {tbl} SET TBLPROPERTIES ('{_META_PROP}' = '{mid_sql}')"
             )

@@ -49,8 +49,11 @@ pytestmark = pytest.mark.skipif(
     _JAR is None,
     reason=(
         "iceberg-spark-runtime jar unavailable: this sandbox has no network "
-        "access to fetch it and none is vendored (set TEMPEL_ICEBERG_JAR to "
-        "run this suite)"
+        "access to fetch it and none is vendored — searched pyspark/jars, "
+        "pip cache, ~/.m2, ~/.ivy2 (r5). The MERGE fold logic is value-"
+        "checked by proxy against DuckDB + the parquet path in "
+        "tests/test_upsert_catalog.py::test_merge_fold_sql_duckdb_proxy; "
+        "set TEMPEL_ICEBERG_JAR to run this suite for real"
     ),
 )
 

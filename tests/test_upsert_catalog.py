@@ -150,3 +150,79 @@ def test_incremental_er_rewrites_only_touched_vocab_buckets(spark, tmp_path):
     # the delta must leave a substantial share of the state untouched
     assert 0 < len(changed) < len(after)
     assert len(after) - len(changed) >= len(after) // 4
+
+
+def _duck_dialect(parts):
+    """Mechanical Spark→DuckDB rendering of merge_fold_parts output:
+    null-safe join `<=>` → IS NOT DISTINCT FROM; UPDATE assignment
+    targets lose the `t.` prefix (DuckDB forbids qualifying the
+    target column). Nothing else changes — the logic under test is
+    the parts themselves."""
+    on = parts["on"].replace("<=>", "IS NOT DISTINCT FROM")
+    sets = []
+    for s in parts["sets"]:
+        lhs, rhs = s.split(" = ", 1)
+        sets.append(f"{lhs.removeprefix('t.')} = {rhs}")
+    return on, sets
+
+
+def test_merge_fold_sql_duckdb_proxy(spark, tmp_path):
+    """VERDICT r4 #8: no iceberg-spark-runtime jar exists anywhere in
+    this sandbox (pyspark jars dir, pip cache, ~/.m2, ~/.ivy2 all
+    searched; no network), so the Iceberg MERGE statement's LOGIC is
+    value-checked by proxy: render the exact `merge_fold_parts`
+    components in DuckDB's dialect (DuckDB 1.0 predates MERGE INTO —
+    the matched/not-matched branches become the equivalent guarded
+    UPDATE..FROM + anti-join INSERT), drive the same delta sequence
+    through it, and require bit-equal state with the PARQUET
+    upsert_fold path — fresh create, overlap fold, dup-key delta
+    (pre-aggregated, the ADVICE fix), and marker-replay no-op."""
+    import duckdb
+
+    from tempel_spark.sources.catalog import Catalog, merge_fold_parts, merge_fold_sql
+
+    # the Spark-dialect statement itself still renders (golden shape)
+    stmt = merge_fold_sql("tbl", "v", ("k",), ("v",), "m1")
+    assert stmt.startswith("MERGE INTO tbl t USING v s ON t.`k` <=> s.`k` ")
+    assert "WHEN MATCHED AND t.`_last_upsert` IS DISTINCT FROM 'm1'" in stmt
+    assert "WHEN NOT MATCHED THEN INSERT" in stmt
+
+    con = duckdb.connect()
+
+    def duck_fold(delta_rows, mid):
+        con.execute("CREATE OR REPLACE TABLE s_raw (k VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO s_raw VALUES (?, ?)", delta_rows)
+        # the pre-aggregation _upsert_fold_iceberg applies before both
+        # CREATE and MERGE (dup-key deltas fold to one row)
+        con.execute(
+            "CREATE OR REPLACE TABLE s AS SELECT k, sum(v) AS v FROM s_raw GROUP BY k"
+        )
+        tables = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
+        if "t" not in tables:
+            con.execute(
+                f"CREATE TABLE t AS SELECT k, v, '{mid}' AS _last_upsert FROM s"
+            )
+            return
+        parts = merge_fold_parts(("k",), ("v",), mid, q='"')
+        on, sets = _duck_dialect(parts)
+        guard = parts["guard"].replace("<=>", "IS NOT DISTINCT FROM")
+        con.execute(f"UPDATE t SET {', '.join(sets)} FROM s WHERE {on} AND {guard}")
+        con.execute(
+            f"INSERT INTO t ({', '.join(parts['ins_cols'])}) "
+            f"SELECT {', '.join(parts['ins_vals'])} FROM s "
+            f"WHERE NOT EXISTS (SELECT 1 FROM t WHERE {on})"
+        )
+
+    cat = Catalog(spark, str(tmp_path / "pq"))
+    seq = [
+        ([("a", 1), ("b", 2)], "m0"),
+        ([("a", 10), ("z", 5)], "m1"),
+        ([("a", 1), ("a", 2), ("q", 7)], "m2"),  # dup-key delta
+        ([("a", 1), ("a", 2), ("q", 7)], "m2"),  # replay: must no-op
+    ]
+    for rows, mid in seq:
+        duck_fold(rows, mid)
+        cat.upsert_fold(_kv(spark, rows), "t", ("k",), ("v",),
+                        marker={"m": mid}, n_parts=4)
+    duck_state = {tuple(r) for r in con.execute("SELECT k, v FROM t").fetchall()}
+    assert duck_state == _table(cat, "t") == {("a", 14), ("b", 2), ("z", 5), ("q", 7)}
