@@ -143,8 +143,16 @@ def main() -> None:
         # (C at N, 4C at 4N) — the regime a 100 TB / 1000-executor
         # deployment actually lives in (data grows with the cluster);
         # efficiency = throughput_4N / (4 × throughput_N) = t_N / t_4N.
+        #
+        # Round-5 methodology (VERDICT r4 "Next #1"): single-draw
+        # ratios are not attributable on this box (same-code same-day
+        # 2v8 draws spread 0.689-0.870 in r4, wide-leg host drift
+        # ±22%). The legs now INTERLEAVE within one session —
+        # lo,hi,lo,hi,... for TEMPEL_SCALE_REPS (default 3) rounds —
+        # so drift hits both legs alike, and efficiency is the
+        # RATIO OF MEDIANS with per-leg raw times and spreads
+        # reported alongside.
         weak = "--scaling-weak" in sys.argv
-        results = {}
         lo, hi = max(1, CPUS // 4), CPUS
         # defaults sized so the WIDE leg still runs ~10 min: after the
         # round-3 CC speedup, mult=32 stopped saturating 8 cores and
@@ -153,8 +161,10 @@ def main() -> None:
         # core ratio itself, so it starts from a smaller base to land
         # its hi leg at the same ~64 total.
         base_mult = int(os.environ.get("TEMPEL_SCALE_MULT", "16" if weak else "64"))
+        reps = max(1, int(os.environ.get("TEMPEL_SCALE_REPS", "3")))
         have_taskset = subprocess.run(["which", "taskset"], capture_output=True, check=False).returncode == 0
-        for n in (lo, hi):
+
+        def one_leg(n: int) -> dict:
             mult = base_mult * (n // lo) if weak else base_mult
             env = dict(os.environ, TEMPEL_SCALE_MULT=str(mult))
             # pin the WHOLE process tree (JVM + python UDF workers) to n
@@ -167,17 +177,39 @@ def main() -> None:
                 capture_output=True, text=True, env=env, check=False,
             )
             line = [ln for ln in p.stdout.splitlines() if ln.startswith("PIPELINE_RESULT ")]
-            results[n] = json.loads(line[0].split(" ", 1)[1]) if line else {"error": p.stderr[-500:]}
+            return json.loads(line[0].split(" ", 1)[1]) if line else {"error": p.stderr[-500:]}
+
+        def med(xs: list[float]) -> float:
+            s = sorted(xs)
+            m = len(s) // 2
+            return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
+        legs: dict[int, list[dict]] = {lo: [], hi: []}
+        for r in range(reps):
+            for n in (lo, hi):  # alternate: drift hits both legs alike
+                out = one_leg(n)
+                legs[n].append(out)
+                err = out.get("error")
+                print(json.dumps({"leg": n, "rep": r, "sec_total": out.get("sec_total"), "error": err}), file=sys.stderr)
+        results = {n: legs[n][-1] for n in (lo, hi)}
         eff = None
-        if "error" not in results[lo] and "error" not in results[hi]:
+        walls = {n: [o["sec_total"] for o in legs[n] if "error" not in o] for n in (lo, hi)}
+        if walls[lo] and walls[hi]:
             if weak:
-                tput = {n: results[n]["n_mentions"] / results[n]["sec_total"] for n in (lo, hi)}
-                eff = round(tput[hi] / (tput[lo] * (hi / lo)), 4)
+                tputs = {
+                    n: [o["n_mentions"] / o["sec_total"] for o in legs[n] if "error" not in o]
+                    for n in (lo, hi)
+                }
+                eff = round(med(tputs[hi]) / (med(tputs[lo]) * (hi / lo)), 4)
             else:
-                speedup = results[lo]["sec_total"] / max(results[hi]["sec_total"], 1e-9)
-                eff = round(speedup / (hi / lo), 4)
+                eff = round(med(walls[lo]) / (med(walls[hi]) * (hi / lo)), 4)
         print(json.dumps({
             "mode": "weak" if weak else "strong",
+            "methodology": "interleaved legs, efficiency = ratio of medians",
+            "reps": reps, "mult": base_mult,
+            "leg_walls": {str(n): walls[n] for n in (lo, hi)},
+            "leg_medians": {str(n): med(walls[n]) if walls[n] else None for n in (lo, hi)},
+            "leg_spread": {str(n): [min(walls[n]), max(walls[n])] if walls[n] else None for n in (lo, hi)},
             "scaling": results, "cpus": [lo, hi], "efficiency": eff, "sf": sf,
         }))
         return
@@ -215,20 +247,27 @@ def main() -> None:
 
     timings = {n: med(v) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_er_pipeline_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "spread": {n: [min(v), max(v)] for n, v in samples.items()},
-                "pipeline": pipe,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_plus_er_pipeline_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": reps,
+        "spread": {n: [min(v), max(v)] for n, v in samples.items()},
+        "pipeline": pipe,
+    }
+    # attach the round's recorded scaling evidence (written by
+    # `bench.py --scaling` / `--scaling-weak`, interleaved-leg
+    # ratio-of-medians — see SCALING_LATEST.json + BENCH.md for the
+    # raw legs). The full 2v8 interleaved run takes hours, so the
+    # driver-mode bench reports the round's measurement rather than
+    # re-running it inline.
+    ev = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING_LATEST.json")
+    if os.path.exists(ev):
+        with open(ev) as fh:
+            out["scaling_evidence"] = json.load(fh)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

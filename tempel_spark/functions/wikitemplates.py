@@ -135,6 +135,41 @@ _unit(["ly"], "light-year", "light-years", "ly", "L", 9.4607304725808e15, "AU")
 _unit(["pc"], "parsec", "parsecs", "pc", "L", 3.0856775814913673e16, "ly")
 _unit(["cc"], "cubic centimetre", "cubic centimetres", "cc", "V", 1e-6, "cuin")
 _unit(["cuin", "in3"], "cubic inch", "cubic inches", "cu in", "V", 1.6387064e-5, "cc")
+# round-5 tranche. No real dump ships in this sandbox to census, so
+# frequency comes from the template's PUBLIC per-unit transclusion
+# statistics: automotive (torque, fuel economy — the latter needs the
+# new INVERSE conversion path below), energy/explosive-yield (J chain
+# + tons of TNT, rendered exactly as the live examples
+# {{convert|15|ktTNT}} → "15 kilotons of TNT (63 TJ)"), petroleum
+# barrels, and bulk volumes. Documented divergences: mpg symbols use
+# an ASCII hyphen (live uses U+2011), torque symbols keep the live
+# U+22C5 dot.
+_unit(["Nm", "N.m", "N·m"], "newton-metre", "newton-metres", "N⋅m", "TQ", 1.0, "lbft")
+_unit(["lbft", "lb.ft"], "pound foot", "pound feet", "lb⋅ft", "TQ", 1.3558179483314004, "Nm")
+_unit(["J"], "joule", "joules", "J", "E", 1.0, "ftlbf")
+_unit(["ftlbf", "ft.lbf"], "foot-pound", "foot-pounds", "ft⋅lbf", "E", 1.3558179483314004, "J")
+_unit(["GJ"], "gigajoule", "gigajoules", "GJ", "E", 1e9, "kWh")
+_unit(["TJ"], "terajoule", "terajoules", "TJ", "E", 1e12, "GWh")
+_unit(["GWh"], "gigawatt-hour", "gigawatt-hours", "GWh", "E", 3.6e12, "TJ")
+_unit(["PJ"], "petajoule", "petajoules", "PJ", "E", 1e15, "GWh")
+_unit(["tTNT"], "ton of TNT", "tons of TNT", "t of TNT", "E", 4.184e9, "GJ")
+_unit(["ktTNT"], "kiloton of TNT", "kilotons of TNT", "kt of TNT", "E", 4.184e12, "TJ")
+_unit(["MtTNT"], "megaton of TNT", "megatons of TNT", "Mt of TNT", "E", 4.184e15, "PJ")
+_unit(["oilbbl", "bbl"], "barrel", "barrels", "bbl", "V", 0.158987294928, "m3")
+_unit(["cuyd", "yd3"], "cubic yard", "cubic yards", "cu yd", "V", 0.764554857984, "m3")
+_unit(["km3"], "cubic kilometre", "cubic kilometres", "km3", "V", 1e9, "cumi")
+_unit(["cumi", "mi3"], "cubic mile", "cubic miles", "cu mi", "V", 4.168181825440579584e9, "km3")
+_unit(["mpgUS", "mpgus"], "mile per US gallon", "miles per US gallon",
+      "mpg-US", "FE", 1.609344 / 3.785411784, "L/100 km")
+_unit(["mpgimp"], "mile per imperial gallon", "miles per imperial gallon",
+      "mpg-imp", "FE", 1.609344 / 4.54609, "L/100 km")
+_unit(["L/100 km", "L/100km", "l/100km"], "litre per 100 kilometres",
+      "litres per 100 kilometres", "L/100 km", "FE", 100.0, "mpgUS")
+
+# units whose VALUE is the reciprocal of the base quantity (km/L for
+# the FE dimension): value v ⇒ base = factor / v, and back the same
+# way — the only non-linear family besides temperature
+_INVERSE = {"L/100 km", "L/100km", "l/100km"}
 
 _TEMP_TO_K = {"C": (1.0, 273.15), "F": (5 / 9, 273.15 - 32 * 5 / 9), "K": (1.0, 0.0)}
 
@@ -239,13 +274,21 @@ def _parse_number(s: str) -> float | None:
 
 
 def _convert_value(v: float, src: str, dst: str) -> tuple[float, float]:
-    """→ (converted value, effective linear factor for rounding)."""
+    """→ (converted value, effective linear factor for rounding).
+    Raises ZeroDivisionError on a zero value through an inverse unit
+    (the caller renders '' — the live template errors there too)."""
     s_u, d_u = _U[src], _U[dst]
     if s_u[3] == "T":
         sc, so = _TEMP_TO_K[_canon_temp(src)]
         dc, do = _TEMP_TO_K[_canon_temp(dst)]
         k = v * sc + so
         return (k - do) / dc, sc / dc
+    if src in _INVERSE or dst in _INVERSE:
+        base = (s_u[4] / v) if src in _INVERSE else v * s_u[4]
+        out = (d_u[4] / base) if dst in _INVERSE else base / d_u[4]
+        # the rounding rule wants a local linear factor; the magnitude
+        # ratio reduces to the exact factor in the linear case
+        return out, abs(out / v)
     f = s_u[4] / d_u[4]
     return v * f, f
 
@@ -337,7 +380,10 @@ def expand_convert(args: str) -> str:
     out_spelled = spell_out
     for vs in values:
         v = _parse_number(vs)
-        conv, f = _convert_value(v, src, dst)
+        try:
+            conv, f = _convert_value(v, src, dst)
+        except ZeroDivisionError:
+            return ""
         dec = _round_decimal_pos(conv, f, vs, explicit, sigfig)
         in_strs.append(render_num(vs, spell_in))
         o = _fmt(conv, dec)

@@ -571,42 +571,65 @@ _DRIVER_CHECKED_R3 = frozenset({
     "q_first_match_rank",
 })
 
+# The 50 queries adjudicated green in CORRECTNESS_r04.json.
+_DRIVER_CHECKED_R4 = frozenset({
+    "q_acc_at_k", "q_alias_table", "q_anti_join", "q_asof_stable",
+    "q_bm25_mrr", "q_bm25_passages", "q_bm25_topk", "q_clean_wikitext",
+    "q_cluster_evolution", "q_cosine_topk", "q_dataset_subsets",
+    "q_date_buckets", "q_dedup_exact", "q_dedup_prefix_key",
+    "q_dedup_then_join", "q_distribution_cumsum", "q_dot_product_scores",
+    "q_embedding_dedup", "q_er_components", "q_er_match_pairs",
+    "q_excise_boilerplate", "q_extract_tokens", "q_fingerprint",
+    "q_intersection_across_groups", "q_ivf_adaptive_probe", "q_ivf_buckets",
+    "q_ivf_multiprobe", "q_ivf_topk", "q_jaccard_pairs",
+    "q_lang_id_heuristic", "q_levenshtein", "q_lsh_block_sizes",
+    "q_min_across_groups", "q_minhash_signature", "q_normalize_text",
+    "q_pivot", "q_quality_score", "q_regex_filter", "q_repeated_passages",
+    "q_semi_join", "q_share_window", "q_simhash", "q_sorted_neighborhood",
+    "q_strict_majority_vote", "q_temporal_flux", "q_tfidf_keywords",
+    "q_token_count_regex", "q_unigram_logprob", "q_union_distinct",
+    "q_word_count",
+})
+
 # Queries whose implementation (or a shared operator) changed AFTER
-# their last driver adjudication:
-#  - clustering.py CC endgame (r3 skip + r4 numpy SV contraction):
-#    q_er_components, q_er_match_pairs, q_dataset_subsets
-#  - dedup.py simhash64_agg rewrite (r3, after the r2 q_simhash row):
-#    q_simhash
-#  - topk.py adaptive multi-probe + shared exact tiers (r4):
-#    q_ivf_topk, q_ivf_buckets, q_ivf_multiprobe, q_cosine_topk,
-#    q_dot_product_scores
-#  - alias_table.py / asof.py touched in r3 after their r2 rows:
-#    q_alias_table, q_asof_stable, q_minhash_signature (blocking.py).
-#  - wikitemplates.py convert extension (r4: thousands separators,
-#    spell=/adj=mid, two new unit tranches) + extended fixtures:
-#    q_clean_wikitext, q_temporal_flux (fixture shares the convert
-#    forms, oracle extended in lockstep).
-#  - blocking.py sorted_neighborhood_pairs rewritten as a distributed
-#    global rank (r4, after the r3 q_sorted_neighborhood row):
-#    q_sorted_neighborhood.
+# their last driver adjudication — round-5 churn:
+#  - retrieval.py qtf weighting (+ repeated-term query in the
+#    q_bm25_topk fixture): q_bm25_topk, q_bm25_passages, q_bm25_mrr
+#    (also metrics.py MRR query-universe param);
+#  - clustering.py cluster_evolution attribution columns:
+#    q_cluster_evolution;
+#  - metrics.py strict_majority rounded-tie compare:
+#    q_strict_majority_vote;
+#  - blocking.py adaptive prefix deepening + offset-broadcast bound:
+#    q_sorted_neighborhood;
+#  - wikitemplates.py round-5 unit tranche (torque, fuel economy,
+#    TNT, barrels) + extended fixture: q_clean_wikitext.
 _CHANGED_SINCE_ADJUDICATION = frozenset({
-    "q_er_components", "q_er_match_pairs", "q_dataset_subsets",
-    "q_simhash", "q_ivf_topk", "q_ivf_buckets", "q_ivf_multiprobe",
-    "q_cosine_topk", "q_dot_product_scores", "q_alias_table",
-    "q_asof_stable", "q_minhash_signature", "q_clean_wikitext",
-    "q_temporal_flux", "q_sorted_neighborhood",
+    "q_bm25_topk", "q_bm25_passages", "q_bm25_mrr",
+    "q_cluster_evolution", "q_strict_majority_vote",
+    "q_sorted_neighborhood", "q_clean_wikitext",
 })
 
 
 def _rotate_driver_window() -> None:
+    # Standing policy (VERDICT r3 Next #3, r4 Next #2): the driver
+    # adjudicates the FIRST 50 registry entries; order by staleness of
+    # the latest driver row relative to code churn. Tiers 0-3 total
+    # well under 50, so after round 5 no query's latest row predates
+    # round 3, and everything that changed this round re-adjudicates.
     def tier(n: str) -> int:
-        if n not in _DRIVER_CHECKED_R1_R2 and n not in _DRIVER_CHECKED_R3:
-            return 0  # never driver-checked
+        seen = (
+            _DRIVER_CHECKED_R1_R2 | _DRIVER_CHECKED_R3 | _DRIVER_CHECKED_R4
+        )
+        if n not in seen:
+            return 0  # never driver-checked (new this round)
         if n in _CHANGED_SINCE_ADJUDICATION:
             return 1  # stale adjudication: code moved after last row
-        if n not in _DRIVER_CHECKED_R3:
+        if n not in _DRIVER_CHECKED_R3 and n not in _DRIVER_CHECKED_R4:
             return 2  # r2-only row, unchanged code
-        return 3      # r3 green, unchanged code
+        if n not in _DRIVER_CHECKED_R4:
+            return 3  # r3 row, unchanged code
+        return 4      # r4 green, unchanged code (back of line)
 
     ordered = sorted(QUERIES, key=lambda n: tier(n))  # stable within tier
     for d in (QUERIES, ORACLES):

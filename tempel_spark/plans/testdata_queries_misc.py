@@ -424,6 +424,8 @@ def q_temporal_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
              || ' {{convert|10000|m|ft}} deep {{convert|15|ft|m|spell=in}} tall'
              || ' {{convert|10|mi|km|adj=mid|-long}} route {{convert|20|kn|km/h}}'
              || ' {{convert|500|kcal|kJ}} burn {{convert|1.5|GW|hp}} output'
+             || ' {{convert|250|Nm|lbft}} torque {{convert|30|mpgUS|L/100 km}} thirst'
+             || ' {{convert|15|ktTNT}} yield'
              || ' at {{convert|37|C|F}} word {{IAST|saMskRta}} {{nowrap|no break}}'
              || ' {{chem|H|2|O}} {{SubatomicParticle|Electron}} {{CO2}}'
              || ' [[File:pic.jpg|thumb|a [[b]] c]] {| rows |} <b>tag</b> tail'
@@ -440,6 +442,7 @@ def q_temporal_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- template→text mapping (convert/particle splice ' '+expansion,
     -- inline rules keep inner text in place — cleaning.py:72-170)
     cx AS (SELECT doc_id,
+             replace(replace(replace(
              replace(replace(replace(replace(replace(replace(replace(replace(
              replace(replace(replace(replace(replace(replace(s,
                '{{convert|5|km|mi}}', ' 5 kilometres (3.1 mi)'),
@@ -450,6 +453,9 @@ def q_temporal_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
                '{{convert|20|kn|km/h}}', ' 20 knots (37 km/h)'),
                '{{convert|500|kcal|kJ}}', ' 500 kilocalories (2,100 kJ)'),
                '{{convert|1.5|GW|hp}}', ' 1.5 gigawatts (2,000,000 hp)'),
+               '{{convert|250|Nm|lbft}}', ' 250 newton-metres (180 lb⋅ft)'),
+               '{{convert|30|mpgUS|L/100 km}}', ' 30 miles per US gallon (7.8 L/100 km)'),
+               '{{convert|15|ktTNT}}', ' 15 kilotons of TNT (63 TJ)'),
                '{{convert|37|C|F}}', ' 37 °C (99 °F)'),
                '{{SubatomicParticle|Electron}}', ' e−'),
                '{{IAST|saMskRta}}', 'saMskRta'),
@@ -492,6 +498,8 @@ def q_clean_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" {{convert|10000|m|ft}} deep {{convert|15|ft|m|spell=in}} tall"),
         F.lit(" {{convert|10|mi|km|adj=mid|-long}} route {{convert|20|kn|km/h}}"),
         F.lit(" {{convert|500|kcal|kJ}} burn {{convert|1.5|GW|hp}} output"),
+        F.lit(" {{convert|250|Nm|lbft}} torque {{convert|30|mpgUS|L/100 km}} thirst"),
+        F.lit(" {{convert|15|ktTNT}} yield"),
         F.lit(" at {{convert|37|C|F}} word {{IAST|saMskRta}} {{nowrap|no break}}"),
         F.lit(" {{chem|H|2|O}} {{SubatomicParticle|Electron}} {{CO2}}"),
         F.lit(" [[File:pic.jpg|thumb|a [[b]] c]] {| rows |} <b>tag</b> tail"),

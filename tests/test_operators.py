@@ -284,6 +284,26 @@ def test_convert_template_expansion():
     assert expand_convert("350|cuin|cc") == "350 cubic inches (5,700 cc)"
     assert expand_convert("5|psi") == "5 pounds per square inch (34 kPa)"
     assert expand_convert("5|kPa|kg") == ""  # pressure never → mass
+    # round-5 tranche (VERDICT r4 Next #7): automotive torque + fuel
+    # economy (the INVERSE conversion family: mpg ↔ L/100 km), TNT
+    # yield (renders exactly the live examples: 15 ktTNT → 63 TJ,
+    # 1 tTNT → 4.2 GJ), petroleum barrels, bulk volumes
+    assert expand_convert("250|Nm|lbft") == "250 newton-metres (180 lb⋅ft)"
+    assert expand_convert("300|Nm|lbft|abbr=on") == "300 N⋅m (220 lb⋅ft)"
+    assert expand_convert("100|lbft|Nm") == "100 pound feet (140 N⋅m)"
+    assert expand_convert("30|mpgUS|L/100 km") == "30 miles per US gallon (7.8 L/100 km)"
+    assert expand_convert("7.8|L/100 km|mpgUS") == "7.8 litres per 100 kilometres (30 mpg-US)"
+    assert expand_convert("30|mpgUS|mpgimp") == "30 miles per US gallon (36 mpg-imp)"
+    assert expand_convert("0|L/100 km|mpgUS") == ""  # zero through inverse
+    assert expand_convert("15|ktTNT") == "15 kilotons of TNT (63 TJ)"
+    assert expand_convert("1|tTNT") == "1 ton of TNT (4.2 GJ)"
+    assert expand_convert("20|MtTNT") == "20 megatons of TNT (84 PJ)"
+    assert expand_convert("1000|oilbbl|m3") == "1,000 barrels (160 m3)"
+    assert expand_convert("10|cuyd|m3") == "10 cubic yards (7.6 m3)"
+    assert expand_convert("2|km3|cumi") == "2 cubic kilometres (0.48 cu mi)"
+    assert expand_convert("100|J|ftlbf") == "100 joules (74 ft⋅lbf)"
+    assert expand_convert("5|Nm|kg") == ""  # torque never → mass
+    assert expand_convert("30|mpgUS|km") == ""  # fuel economy never → length
 
     # mid-sentence expansion through the full cleaner, nested in nowrap
     raw = ("The {{nowrap|{{convert|42.195|km|mi}}}} marathon at "
