@@ -203,7 +203,7 @@ def main() -> None:
                 eff = round(med(tputs[hi]) / (med(tputs[lo]) * (hi / lo)), 4)
             else:
                 eff = round(med(walls[lo]) / (med(walls[hi]) * (hi / lo)), 4)
-        print(json.dumps({
+        payload = {
             "mode": "weak" if weak else "strong",
             "methodology": "interleaved legs, efficiency = ratio of medians",
             "reps": reps, "mult": base_mult,
@@ -211,7 +211,22 @@ def main() -> None:
             "leg_medians": {str(n): med(walls[n]) if walls[n] else None for n in (lo, hi)},
             "leg_spread": {str(n): [min(walls[n]), max(walls[n])] if walls[n] else None for n in (lo, hi)},
             "scaling": results, "cpus": [lo, hi], "efficiency": eff, "sf": sf,
-        }))
+        }
+        print(json.dumps(payload))
+        # persist as the round's scaling evidence; the driver-mode
+        # bench attaches this file (strong under "strong", weak under
+        # "weak") so BENCH_r{N}.json carries both measurements.
+        ev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING_LATEST.json")
+        ev = {}
+        if os.path.exists(ev_path):
+            try:
+                with open(ev_path) as fh:
+                    ev = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                ev = {}
+        ev[payload["mode"]] = payload
+        with open(ev_path, "w") as fh:
+            json.dump(ev, fh)
         return
 
     spark = get_spark("bench", cpus=CPUS)

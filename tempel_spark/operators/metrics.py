@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "mean_reciprocal_rank",
     "pairwise_f1",
+    "bcubed",
     "eval_labeled_pairs",
     "cluster_canonical_names",
     "acc_at_k",
@@ -90,7 +91,12 @@ def pairwise_f1(
     recall/f1. Same-cluster pairs counted via Σ C(n,2) over the
     contingency table — O(clusters), not O(pairs)."""
     groups = group_cols or []
-    j = pred.join(gold.select(node_col, gold_col, *[c for c in groups if c in gold.columns and c not in pred.columns]), node_col)
+    # same join-key rule as bcubed: group cols on both sides are keys
+    # (a node recurring across groups must not fan out), gold-only
+    # group cols ride along
+    shared = [c for c in groups if c in gold.columns and c in pred.columns]
+    extra = [c for c in groups if c in gold.columns and c not in pred.columns]
+    j = pred.join(gold.select(node_col, gold_col, *shared, *extra), [node_col, *shared])
 
     cont = j.groupBy(*groups, pred_col, gold_col).agg(F.count(F.lit(1)).alias("n"))
     tp = cont.groupBy(*groups).agg(F.sum(_n_choose_2(F.col("n"))).alias("tp"))
@@ -120,6 +126,60 @@ def pairwise_f1(
             (F.col("precision") + F.col("recall")) > 0,
             2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
         ).otherwise(F.lit(0.0)),
+    )
+
+
+def bcubed(
+    pred: DataFrame,
+    gold: DataFrame,
+    node_col: str = "node",
+    pred_col: str = "component",
+    gold_col: str = "gold_entity_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """B-cubed clustering precision/recall/F1 (Bagga & Baldwin 1998)
+    — the per-NODE counterpart of ``pairwise_f1``: each node n scores
+    precision |C(n)∩G(n)|/|C(n)| and recall |C(n)∩G(n)|/|G(n)|,
+    averaged over all nodes. Unlike the pairwise metric it rewards
+    singleton clusters correctly (a node alone in both scores 1.0),
+    which is why ER evaluations report both.
+
+    Computed from the contingency table, never per node: every node
+    in cell (c, g) shares the same scores, so
+    B³P = Σ_cells i²/|c| / N and B³R = Σ_cells i²/|g| / N — O(cells)
+    rows after one groupBy, with the cluster/gold sizes as window
+    sums over the table itself. F1 is the harmonic mean of the two
+    averages (the standard extended-B³ form). Scales like
+    ``pairwise_f1``: one shuffle on (pred, gold), then tiny frames.
+    """
+    groups = group_cols or []
+    # group cols present on BOTH sides join as keys (a node may recur
+    # across groups — node alone would fan out); gold-only group cols
+    # ride along on the select
+    shared = [c for c in groups if c in gold.columns and c in pred.columns]
+    extra = [c for c in groups if c in gold.columns and c not in pred.columns]
+    j = pred.join(
+        gold.select(node_col, gold_col, *shared, *extra), [node_col, *shared]
+    )
+    cont = j.groupBy(*groups, pred_col, gold_col).agg(F.count(F.lit(1)).alias("i"))
+    wc = Window.partitionBy(*groups, pred_col)
+    wg = Window.partitionBy(*groups, gold_col)
+    cells = cont.withColumn("sc", F.sum("i").over(wc)).withColumn(
+        "sg", F.sum("i").over(wg)
+    )
+    out = cells.groupBy(*groups).agg(
+        F.sum("i").alias("n_nodes"),
+        F.sum(F.col("i") * F.col("i") / F.col("sc")).alias("_wp"),
+        F.sum(F.col("i") * F.col("i") / F.col("sg")).alias("_wr"),
+    )
+    p = F.col("_wp") / F.col("n_nodes")
+    r = F.col("_wr") / F.col("n_nodes")
+    return out.select(
+        *groups,
+        "n_nodes",
+        p.alias("bcubed_precision"),
+        r.alias("bcubed_recall"),
+        F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)).alias("bcubed_f1"),
     )
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "bm25_topk",
     "tfidf_keywords",
     "unigram_logprob",
+    "bigram_logprob",
 ]
 
 
@@ -155,6 +156,70 @@ def unigram_logprob(
         )
     )
     return scored
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-α-smoothed bigram LM — the second-order fluency signal next to
+    ``unigram_logprob`` (word salad scores low even when every word is
+    common, because the TRANSITIONS are rare):
+    score(d) = mean_{(v,w)∈d} ln((c(v,w) + α) / (c(v,·) + α·|V|)).
+
+    Shape: the bigram stream is arrays_zip(tokens, tokens-shifted) —
+    one explode, no self-join; c(v,w) and c(v,·) are hash aggregates;
+    |V| rides a one-row broadcast. The scoring joins are keyed on the
+    aggregated (doc, v, w) frame, so Zipf-hot bigrams carry one count
+    row each. Docs with < 2 tokens emit no row (no transitions to
+    average).
+
+    Output: (id_col, n_bigrams, logprob) — logprob rounded."""
+    arr = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    docs_a = docs.select(F.col(id_col), arr.alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    n1 = F.size(F.col("_toks")) - 1
+    bg = docs_a.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_toks"), F.lit(1), n1).alias("v"),
+                F.slice(F.col("_toks"), F.lit(2), n1).alias("w"),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.v").alias("v"), F.col("_bg.w").alias("w"))
+    btf = bg.groupBy(id_col, "v", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cvw = btf.groupBy("v", "w").agg(F.sum("tf").alias("c"))
+    cv = cvw.groupBy("v").agg(F.sum("c").alias("cv"))
+    vocab = (
+        docs.select(F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")).alias("t"))
+        # NOT "V": Spark's resolver is case-insensitive by default, so
+        # a column named V is ambiguous with the bigram head column v
+        # after the crossJoin
+        .agg(F.countDistinct("t").cast("double").alias("vsize"))
+    )
+    return (
+        btf.join(cvw, ["v", "w"])
+        .join(cv, "v")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log((F.col("c") + alpha) / (F.col("cv") + alpha * F.col("vsize")))
+                )
+                / F.sum("tf"),
+                round_dp,
+            ).alias("logprob"),
+        )
+    )
 
 
 def tfidf_keywords(

@@ -604,10 +604,13 @@ _DRIVER_CHECKED_R4 = frozenset({
 #    q_sorted_neighborhood;
 #  - wikitemplates.py round-5 unit tranche (torque, fuel economy,
 #    TNT, barrels) + extended fixture: q_clean_wikitext.
+#  - metrics.py pairwise_f1 join-key hardening (shared group cols —
+#    behavior-neutral for every current caller, re-adjudicate anyway):
+#    q_pairwise_f1.
 _CHANGED_SINCE_ADJUDICATION = frozenset({
     "q_bm25_topk", "q_bm25_passages", "q_bm25_mrr",
     "q_cluster_evolution", "q_strict_majority_vote",
-    "q_sorted_neighborhood", "q_clean_wikitext",
+    "q_sorted_neighborhood", "q_clean_wikitext", "q_pairwise_f1",
 })
 
 

@@ -879,3 +879,199 @@ def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "correct", F.col("doc_id") == F.col("query_id")
     )
     return mean_reciprocal_rank(ranked, queries=queries)
+
+
+# --- k-means + B-cubed (round 5) -------------------------------------
+
+def _kmeans_iter_sql(i: int, prev: str) -> str:
+    """One Lloyd's round as CTEs: assignment a{i} (rounded-distance
+    argmin, ties to the smallest cluster id), per-coordinate means
+    m{i} rounded to 6 dp (the operator rounds its centroids the same
+    way — round-before-compare), updated centroids c{i} (an empty
+    cluster keeps its previous centroid)."""
+    return f"""
+    a{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT p.vec_id, p.v, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY round(list_distance(p.v, c.c), 6), c.cid) AS rn
+        FROM pts p CROSS JOIN {prev} c) WHERE rn = 1),
+    m{i} AS (
+      SELECT cid, idx, round(avg(val), 6) AS m FROM (
+        SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS val FROM a{i})
+      GROUP BY cid, idx),
+    c{i} AS (
+      SELECT p.cid, coalesce(n.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY idx) AS c FROM m{i} GROUP BY cid) n USING (cid))"""
+
+
+# shared CTE prefix: seed (8 smallest ids) + two unrolled Lloyd's
+# rounds ending at centroids c2 — both the q_kmeans and the
+# q_kmeans_ivf oracles build on it
+_KMEANS_CTES = f"""
+    WITH pts AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM pts ORDER BY vec_id LIMIT 8),
+    {_kmeans_iter_sql(1, "c0")},
+    {_kmeans_iter_sql(2, "c1")}"""
+
+_KMEANS_SQL = f"""
+    {_KMEANS_CTES}
+    SELECT vec_id, cid AS cluster_id, dist FROM (
+      SELECT p.vec_id, c.cid,
+             round(list_distance(p.v, c.c), 6) AS dist,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY round(list_distance(p.v, c.c), 6), c.cid) AS rn
+      FROM pts p CROSS JOIN c2 c) WHERE rn = 1
+"""
+
+
+@register("q_kmeans", _KMEANS_SQL)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=8, 2 update rounds, seeds =
+    the 8 smallest vec_ids) over the embeddings table — the trained
+    coarse-quantizer path for IVF and the topic-clustering curation
+    primitive. The oracle unrolls both rounds as CTE chains; every
+    centroid coordinate and distance is 6-dp rounded on BOTH engines
+    so the assignment argmin is engine-stable."""
+    from tempel_spark.operators.kmeans import kmeans
+
+    e = t(spark, sf_dir, "embeddings")
+    return kmeans(e, id_col="vec_id", emb_col="embedding", k=8, n_iter=2).assignments
+
+
+@register(
+    "q_bcubed",
+    f"""
+    WITH j AS (
+      SELECT {" + ".join(_bucket_bit_sql(b) for b in range(3))} AS c,
+             label AS g
+      FROM embeddings),
+    cells AS (SELECT c, g, count(*)::double AS i FROM j GROUP BY 1, 2),
+    sz AS (
+      SELECT i,
+             sum(i) OVER (PARTITION BY c) AS sc,
+             sum(i) OVER (PARTITION BY g) AS sg
+      FROM cells),
+    agg AS (
+      SELECT sum(i) AS n, sum(i * i / sc) AS wp, sum(i * i / sg) AS wr
+      FROM sz)
+    SELECT n::bigint AS n_nodes,
+           round(wp / n, 6) AS bcubed_precision,
+           round(wr / n, 6) AS bcubed_recall,
+           round(CASE WHEN wp / n + wr / n > 0
+                      THEN 2 * (wp / n) * (wr / n) / (wp / n + wr / n)
+                      ELSE 0 END, 6) AS bcubed_f1
+    FROM agg
+    """,
+)
+def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of the hyperplane-bucket clustering
+    against the embeddings table's gold labels — the per-node ER
+    metric beside pairwise F1, computed from the contingency table
+    (Σ i²/|c| / N), never per node or per pair."""
+    from tempel_spark.operators.metrics import bcubed
+
+    e = t(spark, sf_dir, "embeddings")
+    pred = e.select(
+        F.col("vec_id").alias("node"),
+        hyperplane_bucket("embedding", n_bits=3).alias("component"),
+    )
+    gold = e.select(F.col("vec_id").alias("node"), F.col("label").alias("gold_entity_id"))
+    out = bcubed(pred, gold)
+    return out.select(
+        "n_nodes",
+        F.round("bcubed_precision", 6).alias("bcubed_precision"),
+        F.round("bcubed_recall", 6).alias("bcubed_recall"),
+        F.round("bcubed_f1", 6).alias("bcubed_f1"),
+    )
+
+
+@register(
+    "q_kmeans_ivf",
+    f"""
+    {_KMEANS_CTES},
+    a3 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT p.vec_id, p.v, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY round(list_distance(p.v, c.c), 6), c.cid) AS rn
+        FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+    qp AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT p.vec_id, p.v, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY round(list_distance(p.v, c.c), 6), c.cid) AS rn
+        FROM pts p CROSS JOIN c2 c
+        WHERE p.vec_id < 6) WHERE rn <= 2)
+    SELECT query_id, cand_id, cosine, rn AS rank FROM (
+      SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+             round(list_cosine_similarity(q.v, a.v), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, a.v) DESC, a.vec_id) AS rn
+      FROM qp q JOIN a3 a ON q.cid = a.cid AND a.vec_id <> q.vec_id)
+    WHERE rn <= 3
+    """,
+)
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN with a TRAINED coarse quantizer: the same
+    k-means fit as q_kmeans supplies the cells, candidates take one
+    cell each, queries probe their 2 nearest cells — the FAISS IVF
+    shape end-to-end (train → assign → probe → rank), oracle-checked
+    including the probe selection."""
+    from tempel_spark.operators.kmeans import kmeans, kmeans_ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    fit = kmeans(e, id_col="vec_id", emb_col="embedding", k=8, n_iter=2)
+    q = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    out = kmeans_ivf_topk(q, c, fit.centroids, k=4, nprobe=2)
+    return (
+        out.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", F.round("score", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "q_bigram_logprob",
+    """
+    WITH tk AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents)),
+    bg AS (
+      SELECT a.doc_id, a.tok AS v, b.tok AS w
+      FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    btf AS (SELECT doc_id, v, w, count(*) AS tf FROM bg GROUP BY doc_id, v, w),
+    cvw AS (SELECT v, w, sum(tf) AS c FROM btf GROUP BY v, w),
+    cv AS (SELECT v, sum(c) AS cv FROM cvw GROUP BY v),
+    vv AS (SELECT count(DISTINCT tok)::double AS n_vocab FROM tk)
+    SELECT btf.doc_id, sum(tf)::bigint AS n_bigrams,
+           round(sum(tf * ln((c + 0.5) / (cv + 0.5 * n_vocab))) / sum(tf), 6) AS logprob
+    FROM btf JOIN cvw USING (v, w) JOIN cv USING (v) CROSS JOIN vv
+    GROUP BY btf.doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order fluency: mean add-0.5-smoothed corpus-bigram
+    log-probability per document — word salad scores low even when
+    every unigram is common. The bigram stream is arrays_zip of the
+    token list with its own shift (one explode, no positional
+    self-join on the Spark side; the oracle uses the positional join
+    to stay independent)."""
+    from tempel_spark.operators.retrieval import bigram_logprob
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(d)

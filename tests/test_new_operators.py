@@ -894,3 +894,167 @@ def test_strict_majority_float_ties(spark):
     got = {(r.grp, r.cand) for r in
            strict_majority(df, ["grp"], "cand", weight_col="w").collect()}
     assert got == {("g2", "x")}
+
+
+def test_kmeans_ground_truth(spark):
+    """Lloyd's on two well-separated 2-D blobs, k=2, seeds = the two
+    smallest ids (one per blob by construction): after one round each
+    blob is one cluster, centroids are the blob means (hand-computed),
+    and the final assignment reproduces the blobs exactly."""
+    from tempel_spark.operators.kmeans import kmeans
+
+    rows = [
+        (0, [0.0, 0.0]), (2, [1.0, 0.0]), (4, [0.0, 1.0]),   # blob A
+        (1, [10.0, 10.0]), (3, [11.0, 10.0]), (5, [10.0, 11.0]),  # blob B
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = kmeans(df, k=2, n_iter=2)
+    got = {r.vec_id: r.cluster_id for r in res.assignments.collect()}
+    # seed 0 = vec 0 (blob A), seed 1 = vec 1 (blob B)
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+    assert res.centroids[0] == [round(1 / 3, 6), round(1 / 3, 6)]
+    assert res.centroids[1] == [round(31 / 3, 6), round(31 / 3, 6)]
+    # the point sitting ON centroid arithmetic: dist of vec 0 to the
+    # blob-A mean — hand-computed from the 6-dp-ROUNDED centroid the
+    # operator labels against
+    d0 = next(r.dist for r in res.assignments.collect() if r.vec_id == 0)
+    import math
+    assert d0 == round(math.hypot(round(1 / 3, 6), round(1 / 3, 6)), 6)
+
+
+def test_kmeans_partitioning_invariance(spark):
+    """Same input at 1 and 7 partitions → identical assignments and
+    centroids: partial-sum order must not leak through the 6-dp
+    centroid rounding."""
+    from tempel_spark.operators.kmeans import kmeans
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans(df.coalesce(1), k=4, n_iter=3)
+    b = kmeans(df.repartition(7), k=4, n_iter=3)
+    assert a.centroids == b.centroids
+    ra = sorted(map(tuple, a.assignments.collect()))
+    rb = sorted(map(tuple, b.assignments.collect()))
+    assert ra == rb
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k=3 seeds but only two real blobs: the seed that loses all its
+    points keeps its previous centroid instead of NaN-ing out."""
+    from tempel_spark.operators.kmeans import kmeans
+
+    # seeds are ids 0,1,2 = [0,0], [0.1,0], [10,10]; seed 1 is
+    # immediately starved (everything near A is nearer seed 0 or not)
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [10.0, 10.0]),
+            (3, [10.1, 10.0]), (4, [0.05, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = kmeans(df, k=3, n_iter=4)
+    assert len(res.centroids) == 3
+    assert all(all(v == v for v in c) for c in res.centroids)  # no NaN
+    n_clusters = res.assignments.select("cluster_id").distinct().count()
+    assert n_clusters <= 3
+
+
+def test_bcubed_hand_computed(spark):
+    """Bagga-&-Baldwin worked example: gold {a,b,c}{d,e}, pred puts c
+    with {d,e}. Per-node: a,b → P=1,R=2/3; c → P=1/3,R=1/3; d,e →
+    P=2/3,R=1. B³P = (1+1+1/3+2/3+2/3)/5, B³R = (2/3+2/3+1/3+1+1)/5."""
+    from tempel_spark.operators.metrics import bcubed
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2), ("e", 2)],
+        "node string, component int")
+    gold = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 10), ("d", 20), ("e", 20)],
+        "node string, gold_entity_id int")
+    row = bcubed(pred, gold).collect()[0]
+    exp_p = (1 + 1 + 1 / 3 + 2 / 3 + 2 / 3) / 5
+    exp_r = (2 / 3 + 2 / 3 + 1 / 3 + 1 + 1) / 5
+    assert abs(row.bcubed_precision - exp_p) < 1e-12
+    assert abs(row.bcubed_recall - exp_r) < 1e-12
+    assert abs(row.bcubed_f1 - 2 * exp_p * exp_r / (exp_p + exp_r)) < 1e-12
+    assert row.n_nodes == 5
+
+
+def test_bcubed_grouped_and_singletons(spark):
+    """Grouped evaluation + the singleton property pairwise F1 lacks:
+    all-singletons pred vs all-singletons gold scores a perfect 1.0."""
+    from tempel_spark.operators.metrics import bcubed
+
+    pred = spark.createDataFrame(
+        [("a", 1, "s1"), ("b", 2, "s1"), ("a", 1, "s2"), ("b", 1, "s2")],
+        "node string, component int, snap string")
+    gold = spark.createDataFrame(
+        [("a", 10, "s1"), ("b", 20, "s1"), ("a", 10, "s2"), ("b", 10, "s2")],
+        "node string, gold_entity_id int, snap string")
+    rows = {r.snap: r for r in
+            bcubed(pred, gold, group_cols=["snap"]).collect()}
+    assert rows["s1"].bcubed_f1 == 1.0  # singletons match singletons
+    assert rows["s2"].bcubed_f1 == 1.0  # one cluster matches one gold
+    assert rows["s1"].n_nodes == 2
+
+
+def test_kmeans_ivf_recall_trained_quantizer(spark):
+    """Trained coarse quantizer (kmeans_ivf_topk) on the same
+    clustered-corpus family the hyperplane tests use: 128-d, 20
+    gaussian clusters. With 24 trained cells the quantizer tracks the
+    actual data density, so probing just the 2 nearest cells (~8% of
+    the corpus scanned) must reach recall@64 ≥ 0.9 vs brute force —
+    the budget the UNtrained hyperplane quantizer needs nprobe=12 of
+    6-bit buckets (~19% scanned) to match. Also pins probe
+    monotonicity (nprobe 1 ≤ 2 ≤ 4)."""
+    import random
+
+    from tempel_spark.operators.kmeans import kmeans, kmeans_ivf_topk
+    from tempel_spark.operators.topk import brute_force_topk, recall_at_k
+
+    rnd = random.Random(11)
+    dim, n_cand, n_query, n_clusters = 128, 2000, 25, 20
+    centers = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+
+    def pt(c):
+        return [x + rnd.gauss(0, 0.3) for x in centers[c]]
+
+    cdf = spark.createDataFrame(
+        [(i, pt(i % n_clusters)) for i in range(n_cand)], "cand_id long, c_emb array<double>"
+    ).cache()
+    qdf = spark.createDataFrame(
+        [(i, pt(i % n_clusters)) for i in range(n_query)], "query_id long, q_emb array<double>"
+    ).cache()
+    fit = kmeans(cdf, id_col="cand_id", emb_col="c_emb", k=24, n_iter=4)
+    exact = brute_force_topk(qdf, cdf, k=64).cache()
+    sweep = {
+        nprobe: recall_at_k(
+            kmeans_ivf_topk(qdf, cdf, fit.centroids, k=64, nprobe=nprobe), exact
+        )
+        for nprobe in (1, 2, 4)
+    }
+    assert sweep[2] >= 0.9, sweep
+    assert sweep[1] <= sweep[2] <= sweep[4], sweep
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-0.5-smoothed corpus-bigram LM on a 3-doc corpus, checked
+    against hand arithmetic. Corpus bigrams: d1 'a b a b' → (a,b)×2,
+    (b,a)×1; d2 'a b' → (a,b); d3 'c' → none (single token: no row).
+    Counts: c(a,b)=3, c(b,a)=1; c(a,·)=3, c(b,·)=1; vocab = {a,b,c}
+    → |V|=3."""
+    import math
+
+    from tempel_spark.operators.retrieval import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert set(rows) == {1, 2}  # d3 has no bigram → no row
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 3)
+    exp1 = round((2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3, 6)
+    assert rows[1].n_bigrams == 3 and rows[1].logprob == exp1
+    exp2 = round(math.log(p_ab), 6)
+    assert rows[2].n_bigrams == 1 and rows[2].logprob == exp2
+    # repeated-whitespace robustness: empty tokens are filtered
+    df2 = spark.createDataFrame([(1, "a  b")], "doc_id long, text string")
+    r2 = bigram_logprob(df2).collect()
+    assert len(r2) == 1 and r2[0].n_bigrams == 1
