@@ -23,8 +23,13 @@ them can slot into the ER pipeline's blocking stage.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tempel_spark.functions.text import normalize_mention
 from tempel_spark.operators.blocking import candidate_pairs, char_shingles, lsh_band_blocks
@@ -42,6 +47,8 @@ __all__ = [
     "repeated_passages",
     "excise_spans",
     "passage_dedup",
+    "winnow_fingerprints",
+    "winnow_similar_pairs",
 ]
 
 
@@ -498,4 +505,146 @@ def excise_spans(
             ),
         )
         .drop("_sp", "_tk", "_kept")
+    )
+
+
+def _winnow_select(h: np.ndarray, w: int) -> np.ndarray:
+    """0-based positions of winnowed fingerprints in the hash sequence
+    `h`: in every window of `w` consecutive k-gram hashes select the
+    minimum, breaking ties by the RIGHTMOST position (Schleimer et
+    al. 2003, the robust-winnowing tiebreak), then dedupe positions
+    across overlapping windows. A document shorter than one window
+    (0 < m <= w) is treated as a single window so every non-empty
+    document yields at least one fingerprint."""
+    m = h.shape[0]
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    if m <= w:
+        return np.array([m - 1 - int(np.argmin(h[::-1]))], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(h, w)
+    # argmin over the flipped window = rightmost argmin of the window
+    idx = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+    pos = np.arange(m - w + 1, dtype=np.int64) + idx
+    return np.unique(pos)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 10,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every character k-gram, slide a
+    window of w hashes, keep each window's minimum (rightmost on
+    ties). Guarantee: any substring match of length >= w + k - 1
+    between two documents shares at least one selected fingerprint,
+    while only ~2/(w+1) of gram hashes are kept.
+
+    Output: (id_col, fp_pos, fp) — fp_pos is the 1-based character
+    position of the selected k-gram, fp its 60-bit md5-derived hash
+    (`fingerprint64` recipe, hashing.py:55 — bit-identical in any SQL
+    engine, so the selected set itself is oracle-checkable).
+
+    100 TB posture: winnowing is PER-DOCUMENT LOCAL, so the whole
+    selection runs inside one Arrow batch pass (mapInPandas, numpy
+    sliding-window argmin) — zero shuffle, no gram rows ever hit the
+    wire; output is the ~2/(w+1)-thinned fingerprint set only. The
+    window-function formulation would shuffle every gram row by doc
+    for no reason. Fills the document-fingerprinting slot of the
+    training-data dedup family next to passage/minhash/simhash."""
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("fp_pos", T.IntegerType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            fps: list = []
+            for did, txt in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                if txt is None:
+                    continue
+                m = len(txt) - k + 1
+                if m <= 0:
+                    continue
+                h = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(txt[i : i + k].encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        for i in range(m)
+                    ),
+                    dtype=np.int64,
+                    count=m,
+                )
+                sel = _winnow_select(h, w)
+                ids.extend([did] * len(sel))
+                poss.extend((sel + 1).tolist())
+                fps.extend(h[sel].tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "fp_pos": pd.array(poss, dtype="int32"),
+                    "fp": pd.array(fps, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def winnow_similar_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 10,
+    max_df: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowed fingerprints (the MOSS
+    report): documents sharing >= min_shared selected fingerprints,
+    with overlap = n_shared / min(|fp_a|, |fp_b|).
+
+    Fingerprints occurring in more than max_df documents are dropped
+    BEFORE the self-join — boilerplate grams carry no near-dup signal
+    and are exactly the hot keys that would make the fp equi-join
+    quadratic (same frequency-cap discipline as the LSH band join);
+    fan-out per surviving fp is <= C(max_df, 2). Overlap denominators
+    use the UNFILTERED per-doc fingerprint counts so a boilerplate-
+    heavy doc is not flattered by its own filtering."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(id_col, "fp").distinct()
+    n_fp = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(n_fp.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("_na")), "id_a")
+        .join(n_fp.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("_na", "_nb"), 6).alias("overlap"),
+        )
     )

@@ -18,6 +18,7 @@ __all__ = [
     "mean_reciprocal_rank",
     "pairwise_f1",
     "bcubed",
+    "blocking_quality",
     "eval_labeled_pairs",
     "cluster_canonical_names",
     "acc_at_k",
@@ -180,6 +181,79 @@ def bcubed(
         p.alias("bcubed_precision"),
         r.alias("bcubed_recall"),
         F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)).alias("bcubed_f1"),
+    )
+
+
+def blocking_quality(
+    blocks: DataFrame,
+    gold: DataFrame,
+    node_col: str = "node",
+    block_col: str = "block",
+    gold_col: str = "gold_entity_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen 2012): pairs completeness
+    PC = matched candidates / gold pairs (the recall ceiling any
+    downstream matcher inherits), pair quality PQ = matched / generated
+    (blocking precision), reduction ratio RR = 1 − generated / C(N,2).
+
+    ``blocks`` must be a DISJOINT assignment — exactly one row per
+    node (the hyperplane-bucket / SimHash / exact-key families). Under
+    that invariant blocks partition the node set, so every count is a
+    Σ C(n,2) over the (block, gold) contingency table — O(cells) after
+    one hash aggregation, candidate pairs are NEVER materialized (at
+    10^9 nodes per block family the pair list is the thing you cannot
+    afford; the reference only ever logs per-bucket totals,
+    s03:491-501). Multi-key families (LSH bands, sorted-neighborhood)
+    emit overlapping pairs — dedupe them through ``candidate_pairs``
+    and score the pair list with ``eval_labeled_pairs`` instead.
+
+    Output: group_cols…, n_nodes, cand_pairs, matched_pairs,
+    gold_pairs, pairs_completeness, pair_quality, reduction_ratio.
+    """
+    groups = group_cols or []
+    shared = [c for c in groups if c in gold.columns and c in blocks.columns]
+    extra = [c for c in groups if c in gold.columns and c not in blocks.columns]
+    j = blocks.join(
+        gold.select(node_col, gold_col, *shared, *extra), [node_col, *shared]
+    )
+    cont = j.groupBy(*groups, block_col, gold_col).agg(F.count(F.lit(1)).alias("i"))
+    matched = cont.groupBy(*groups).agg(
+        F.sum(_n_choose_2(F.col("i"))).alias("matched_pairs")
+    )
+    cand = (
+        cont.groupBy(*groups, block_col).agg(F.sum("i").alias("n"))
+        .groupBy(*groups)
+        .agg(
+            F.sum(_n_choose_2(F.col("n"))).alias("cand_pairs"),
+            F.sum("n").alias("n_nodes"),
+        )
+    )
+    gpairs = (
+        cont.groupBy(*groups, gold_col).agg(F.sum("i").alias("n"))
+        .groupBy(*groups)
+        .agg(F.sum(_n_choose_2(F.col("n"))).alias("gold_pairs"))
+    )
+    if groups:
+        base = matched.join(cand, groups).join(gpairs, groups)
+    else:
+        base = matched.crossJoin(cand).crossJoin(gpairs)
+    total = _n_choose_2(F.col("n_nodes"))
+    return base.select(
+        *groups,
+        "n_nodes",
+        "cand_pairs",
+        "matched_pairs",
+        "gold_pairs",
+        F.when(F.col("gold_pairs") > 0, F.col("matched_pairs") / F.col("gold_pairs"))
+        .otherwise(F.lit(1.0))
+        .alias("pairs_completeness"),
+        F.when(F.col("cand_pairs") > 0, F.col("matched_pairs") / F.col("cand_pairs"))
+        .otherwise(F.lit(1.0))
+        .alias("pair_quality"),
+        F.when(total > 0, F.lit(1.0) - F.col("cand_pairs") / total)
+        .otherwise(F.lit(1.0))
+        .alias("reduction_ratio"),
     )
 
 

