@@ -19,6 +19,7 @@ __all__ = [
     "pairwise_f1",
     "bcubed",
     "blocking_quality",
+    "pr_curve",
     "eval_labeled_pairs",
     "cluster_canonical_names",
     "acc_at_k",
@@ -254,6 +255,55 @@ def blocking_quality(
         F.when(total > 0, F.lit(1.0) - F.col("cand_pairs") / total)
         .otherwise(F.lit(1.0))
         .alias("reduction_ratio"),
+    )
+
+
+def pr_curve(
+    pairs: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_match",
+    decimals: int = 3,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Precision-recall curve for a pairwise matcher: one row per
+    distinct score threshold t with precision/recall of the decision
+    ``score >= t`` — the report that picks the operating threshold
+    (the reference tunes its must-link ratio the same way, by eye on
+    scored-pair distributions; this makes it one operator).
+
+    Scores are rounded to ``decimals`` FIRST, so the curve has at most
+    ~2·10^decimals points: the per-threshold aggregation is a plain
+    hash agg over all pairs (partially aggregable), and only the
+    already-tiny threshold table goes through the cumulative window —
+    the one ordered window never sees pair-scale data, which is what
+    lets this run over 10^12 scored pairs. Output: group_cols…,
+    threshold, n_pairs, n_pos, precision, recall (6 dp, the repo's
+    round-before-compare determinism rule)."""
+    groups = group_cols or []
+    agg = pairs.groupBy(
+        *groups, F.round(F.col(score_col), decimals).alias("threshold")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*groups)
+    cum_pairs = F.sum("n_pairs").over(w)
+    cum_pos = F.sum("n_pos").over(w)
+    total_pos = F.sum("n_pos").over(tot)
+    return agg.select(
+        *groups,
+        "threshold",
+        "n_pairs",
+        "n_pos",
+        F.round(cum_pos / cum_pairs, 6).alias("precision"),
+        F.when(total_pos > 0, F.round(cum_pos / total_pos, 6))
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
     )
 
 

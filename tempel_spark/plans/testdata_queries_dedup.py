@@ -1236,3 +1236,56 @@ def q_quantized_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
     c = e.filter(F.col("vec_id") >= 8).select(F.col("vec_id").alias("cand_id"), "embedding")
     return quantized_dot_topk(q, c, k=3)
+
+
+@register(
+    "q_pr_curve",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {" + ".join(_bucket_bit_sql(b) for b in range(3))} AS blk
+      FROM embeddings),
+    p AS (
+      SELECT round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 2)
+               AS threshold,
+             (a.label = b.label)::int AS pos
+      FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id),
+    agg AS (
+      SELECT threshold, count(*) AS n_pairs, sum(pos)::bigint AS n_pos
+      FROM p GROUP BY threshold)
+    SELECT threshold, n_pairs, n_pos,
+           round((sum(n_pos) OVER w)::double / (sum(n_pairs) OVER w)::bigint, 6)
+             AS precision,
+           CASE WHEN (sum(n_pos) OVER ())::bigint > 0
+                THEN round((sum(n_pos) OVER w)::double / (sum(n_pos) OVER ())::bigint, 6)
+                ELSE 1.0 END AS recall
+    FROM agg
+    WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matcher-tuning PR curve: precision/recall of `cosine >= t` at
+    every 2-dp threshold over hyperplane-bucket-blocked embedding
+    pairs (gold = label equality). Pair-scale work is ONE hash agg;
+    only the <=201-row threshold table goes through the cumulative
+    window — the shape that holds at 10^12 scored pairs."""
+    from tempel_spark.functions.similarity import cosine_sim
+    from tempel_spark.operators.metrics import pr_curve
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        hyperplane_bucket("embedding", n_bits=3).alias("blk"),
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+                 F.col("embedding").alias("ea"), "blk")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+                 F.col("embedding").alias("eb"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            cosine_sim("ea", "eb").alias("score"),
+            (F.col("la") == F.col("lb")).alias("is_match"),
+        )
+    )
+    return pr_curve(pairs, score_col="score", label_col="is_match", decimals=2)

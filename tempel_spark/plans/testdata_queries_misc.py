@@ -1174,3 +1174,77 @@ def q_cluster_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_evolution(
         asg, snapshot_col="snap_year", member_col="member", comp_col="component"
     )
+
+
+@register(
+    "q_golden_record",
+    """
+    WITH j AS (
+      SELECT p_partkey AS node, p_brand AS component,
+             p_type, p_name, p_size, p_retailprice,
+             p_type AS p_type_latest
+      FROM part),
+    base AS (SELECT component, count(*) AS n_members FROM j GROUP BY component),
+    maj AS (
+      SELECT component, p_type FROM (
+        SELECT component, p_type,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY count(*) DESC, p_type) AS rn
+        FROM j WHERE p_type IS NOT NULL
+        GROUP BY component, p_type)
+      WHERE rn = 1),
+    lng AS (
+      SELECT component, p_name FROM (
+        SELECT component, p_name,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY length(p_name) DESC, p_name) AS rn
+        FROM j WHERE p_name IS NOT NULL)
+      WHERE rn = 1),
+    lat AS (
+      SELECT component, p_type_latest FROM (
+        SELECT component, p_type_latest,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY p_retailprice DESC, p_type_latest DESC) AS rn
+        FROM j WHERE p_type_latest IS NOT NULL)
+      WHERE rn = 1),
+    ext AS (
+      SELECT component, max(p_retailprice) AS p_retailprice,
+             min(p_size) AS p_size
+      FROM j GROUP BY component)
+    SELECT b.component, b.n_members, maj.p_type, lng.p_name,
+           lat.p_type_latest, ext.p_retailprice, ext.p_size
+    FROM base b
+    LEFT JOIN maj USING (component)
+    LEFT JOIN lng USING (component)
+    LEFT JOIN lat USING (component)
+    LEFT JOIN ext USING (component)
+    """,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record fusion (Bleiholder & Naumann 2008):
+    collapse each cluster to one canonical record under per-attribute
+    rules — majority (most frequent, smallest on ties), longest
+    string, latest-by-order-column (max-of-struct tiebreak), plain
+    extrema. Parts-per-brand stand in for the entity cluster (retail
+    price as the recency axis); every rule is a hash aggregation, no
+    window over record-scale data."""
+    from tempel_spark.operators.survivorship import golden_record
+
+    pt = t(spark, sf_dir, "part")
+    components = pt.select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("component"))
+    records = pt.select(
+        F.col("p_partkey").alias("node"), "p_type", "p_name", "p_size",
+        "p_retailprice", F.col("p_type").alias("p_type_latest"),
+    )
+    return golden_record(
+        components,
+        records,
+        rules={
+            "p_type": "majority",
+            "p_name": "longest",
+            "p_type_latest": "latest",
+            "p_retailprice": "max",
+            "p_size": "min",
+        },
+        ts_col="p_retailprice",
+    )

@@ -1220,3 +1220,80 @@ def test_quantized_dot_topk_hand_computed(spark):
     assert abs(rows[10].approx_dot - round(rows[10].qdot * sa * sa, 6)) < 1e-12
     # dequantized estimate close to the true dot (1.3125)
     assert abs(rows[10].approx_dot - 1.3125) < 0.01
+
+
+def test_golden_record_rules_and_tiebreaks(spark):
+    from tempel_spark.operators.survivorship import golden_record
+
+    # cluster X exercises every tiebreak; cluster Y is all-null name
+    records = spark.createDataFrame(
+        [
+            # node, name,   comment, status, price, ts
+            (1, "b", "abcd", "S", 10.0, "2020-01-02"),
+            (2, "a", "bcde", "T", 30.0, "2020-01-02"),
+            (3, None, "xy", "U", 20.0, "2020-01-01"),
+            (4, None, None, "V", 5.0, "2021-06-01"),
+        ],
+        "node long, name string, comment string, status string, price double, ts string",
+    )
+    components = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "X"), (4, "Y")], "node long, component string"
+    )
+    rows = {
+        r.component: r
+        for r in golden_record(
+            components,
+            records,
+            rules={
+                "name": "majority",
+                "comment": "longest",
+                "status": "latest",
+                "price": "max",
+                "ts": "min",
+            },
+            ts_col="ts",
+        ).collect()
+    }
+    x = rows["X"]
+    assert x.n_members == 3
+    assert x.name == "a"  # majority tie (1x'a', 1x'b') -> smallest
+    assert x.comment == "abcd"  # length tie (4 vs 4) -> smallest
+    assert x.status == "T"  # ts tie on 2020-01-02 -> greatest value
+    assert x.price == 30.0
+    assert x.ts == "2020-01-01"
+    y = rows["Y"]
+    assert y.n_members == 1 and y.name is None and y.comment is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown survivorship rule"):
+        golden_record(components, records, rules={"name": "mode"})
+
+
+def test_pr_curve_hand_computed(spark):
+    from tempel_spark.operators.metrics import pr_curve
+
+    pairs = spark.createDataFrame(
+        [
+            ("g1", 0.91, True),
+            ("g1", 0.88, False),  # rounds to 0.9 with decimals=1
+            ("g1", 0.8, True),
+            ("g1", 0.7, False),
+            ("g2", 0.5, False),  # zero-positive group -> recall 1.0
+        ],
+        "g string, score double, is_match boolean",
+    )
+    out = pr_curve(pairs, decimals=1, group_cols=["g"]).collect()
+    g1 = sorted([r for r in out if r.g == "g1"], key=lambda r: -r.threshold)
+    assert [(r.threshold, r.n_pairs, r.n_pos) for r in g1] == [
+        (0.9, 2, 1),
+        (0.8, 1, 1),
+        (0.7, 1, 0),
+    ]
+    assert [(r.precision, r.recall) for r in g1] == [
+        (0.5, 0.5),
+        (round(2 / 3, 6), 1.0),
+        (0.5, 1.0),
+    ]
+    (g2,) = [r for r in out if r.g == "g2"]
+    assert g2.precision == 0.0 and g2.recall == 1.0
