@@ -280,6 +280,11 @@ def pr_curve(
     threshold, n_pairs, n_pos, precision, recall (6 dp, the repo's
     round-before-compare determinism rule)."""
     groups = group_cols or []
+    # NULL scores (e.g. a null embedding upstream of the scorer) would
+    # group into a threshold=NULL row that sorts last and absorbs all
+    # pairs into a bogus final operating point — a pair with no score
+    # is not a decision the curve can describe, so drop it.
+    pairs = pairs.filter(F.col(score_col).isNotNull())
     agg = pairs.groupBy(
         *groups, F.round(F.col(score_col), decimals).alias("threshold")
     ).agg(

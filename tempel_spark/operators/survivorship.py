@@ -63,10 +63,24 @@ def golden_record(
 
     ``latest``/``earliest`` read the record timestamp from ``ts_col``.
     """
+    needs_ts = False
     for col, rule in rules.items():
         if rule not in SURVIVORSHIP_RULES:
             raise ValueError(f"unknown survivorship rule {rule!r} for {col!r}")
-    j = components.select(id_col, cluster_col).join(records, id_col)
+        needs_ts = needs_ts or rule in ("latest", "earliest")
+    # Project records down to the columns the rules actually read:
+    # callers often pass a frame that still carries its own cluster
+    # assignment (components and records usually come from the same
+    # join), and an un-pruned join would make cluster_col ambiguous.
+    keep = list(dict.fromkeys(
+        [id_col, *rules, *((ts_col,) if needs_ts else ())]
+    ))
+    if cluster_col in keep:
+        raise ValueError(
+            f"records column {cluster_col!r} collides with cluster_col — "
+            "rename one of them"
+        )
+    j = components.select(id_col, cluster_col).join(records.select(*keep), id_col)
     out = j.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n_members"))
     for col, rule in rules.items():
         c = F.col(col)

@@ -1170,9 +1170,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_winnow_overlap",
     f"""
     WITH {_WINNOW_FP_CTE},
-    nfp AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
-    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 5),
-    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+    fpd AS (SELECT DISTINCT doc_id, fp FROM fp),
+    nfp AS (SELECT doc_id, count(*) AS n FROM fpd GROUP BY doc_id),
+    rare AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 5),
+    kept AS (SELECT fpd.doc_id, fpd.fp FROM fpd JOIN rare USING (fp)),
     p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -368,6 +368,17 @@ class Catalog:
         with open(p) as fh:
             return json.load(fh)
 
+    def upsert_spec(self, name: str) -> dict | None:
+        """The fixed layout of an upsert table ({"key_cols": [...],
+        "n_parts": N}), or None before its first fold (or in Iceberg
+        mode, where the engine owns the bucket transform). Callers that
+        compute bucket ids for pruned reads MUST adopt this spec's
+        n_parts rather than trust their own default — a mismatched
+        bucket count silently reads the wrong buckets."""
+        if self.use_iceberg:
+            return None
+        return self._get_upsert_spec(name)
+
     def _atomic_write_json(self, path: str, obj) -> None:
         tmp = f"{path}.__ups_{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:

@@ -18,7 +18,13 @@ built on the same crash-safety discipline as
 * pair + fingerprint appends go FIRST, the df fold with its marker
   LAST: a crashed batch's retry re-appends (at-least-once) and the
   read-side dedupe restores exactly-once; committing the marker first
-  would let a retry silently drop the batch's pairs;
+  would let a retry silently drop the batch's pairs. A crash INSIDE
+  the fold (some df buckets swapped) makes the retry's emit-time df
+  reads overcount — its re-appended rows can carry smaller n_shared —
+  but the first attempt already appended the correct rows before the
+  fold started, so `read_winnow_pairs` resolving duplicates by
+  max(n_shared) always surfaces the correct value (overcounted df
+  only shrinks the rare-fp set, never grows it);
 * the doc-frequency cap (`max_df`) is decided AT EMIT TIME from the
   merged (previous ∪ delta) counts of exactly the fps the batch
   touches — bucket-pruned state reads, never a full-state scan. Both
@@ -44,6 +50,7 @@ from pyspark.sql import types as T
 
 from tempel_spark.operators.dedup import winnow_fingerprints
 from tempel_spark.sources.catalog import Catalog, upsert_bucket_col
+from tempel_spark.streaming._replay import batch_content_fp, check_replay, make_marker
 
 __all__ = ["stream_incremental_winnow", "read_winnow_pairs", "DOC_SCHEMA"]
 
@@ -89,38 +96,28 @@ def stream_incremental_winnow(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        fp_row = fps_new.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(doc_id, fp))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        batch_fp = f"{fp_row['n']}:{fp_row['h']}"
-        # REPLAY GUARD — same contract as incremental ER's: the df-fold
-        # marker carries (checkpoint, batch id, content fp) atomically
-        # with the folded state. A replay of the applied batch with
-        # matching contents is skipped; a re-pointed checkpoint or a
-        # same-id batch with different contents (wiped checkpoint over
-        # kept state) fails loudly instead of corrupting df counts.
-        applied = catalog.get_inline_meta(_DF) or {}
-        if applied.get("wn_batch_id") is not None:
-            if applied.get("wn_ckpt") != ckpt:
-                raise RuntimeError(
-                    "stream checkpoint / winnow state mismatch: state was "
-                    f"committed under checkpoint {applied.get('wn_ckpt')!r} but "
-                    f"the stream runs with {ckpt!r} — delete the stream_winnow_* "
-                    "state and the checkpoint together, or restore the original "
-                    "checkpoint dir."
-                )
-            if batch_id <= applied["wn_batch_id"]:
-                if (
-                    batch_id == applied["wn_batch_id"]
-                    and applied.get("wn_batch_fp") in (None, batch_fp)
-                ):
-                    return  # true replay of the applied batch
-                raise RuntimeError(
-                    f"winnow state has applied batch {applied['wn_batch_id']} but "
-                    f"the stream presented batch {batch_id} with unrecognized "
-                    "contents — checkpoint and state must live and die together."
-                )
+        batch_fp = batch_content_fp(fps_new, ("doc_id", "fp"))
+        # REPLAY GUARD (shared with incremental ER): the df-fold marker
+        # carries (checkpoint, batch id, content fp, winnow k/w)
+        # atomically with the folded state — a true replay skips, every
+        # unsafe resume (re-pointed checkpoint, rewound ids, different
+        # k/w — an incompatible fingerprint space) fails loudly.
+        if check_replay(
+            catalog.get_inline_meta(_DF) or {},
+            "wn", ckpt, batch_id, batch_fp,
+            params={"k": k, "w": w},
+            state_desc="winnow state",
+        ):
+            return
+        # The bucket layout is fixed at table creation: adopt the
+        # table's n_parts for this batch's pruned reads BEFORE any
+        # append — trusting a caller-supplied state_parts that differs
+        # would read the wrong buckets, under-count df, and pollute the
+        # append-only pair log with uncappable bogus pairs.
+        parts = state_parts
+        spec = catalog.upsert_spec(_DF)
+        if spec is not None:
+            parts = spec["n_parts"]
         # delta df + bucket-priced merge with previous df state: only
         # fps touched by this batch can form new pairs, so the cap
         # check reads exactly the delta's hash buckets.
@@ -133,7 +130,7 @@ def stream_incremental_winnow(
                 touched = [
                     r["_b"]
                     for r in delta_df.select(
-                        upsert_bucket_col(("fp",), state_parts).alias("_b")
+                        upsert_bucket_col(("fp",), parts).alias("_b")
                     ).distinct().collect()
                 ]
                 prev = catalog.read_upsert_buckets(_DF, touched)
@@ -143,8 +140,15 @@ def stream_incremental_winnow(
                     .groupBy("fp")
                     .agg(F.sum("n_docs").alias("n_docs"))
                 )
-        rare = merged.filter(F.col("n_docs") <= max_df).select("fp")
-        new_rare = fps_new.join(rare, "fp").localCheckpoint(eager=True)
+        # rare is tiny (<= the batch's touched fps) but its lineage
+        # holds the whole bucket-pruned state read — checkpoint it once
+        # so the old-side join below doesn't re-run that scan.
+        rare = (
+            merged.filter(F.col("n_docs") <= max_df)
+            .select("fp")
+            .localCheckpoint(eager=True)
+        )
+        new_rare = fps_new.join(rare, "fp")
         sides = new_rare.select(
             "fp", F.col("doc_id").alias("doc_b"), F.lit(True).alias("_new")
         )
@@ -180,8 +184,10 @@ def stream_incremental_winnow(
             _DF,
             key_cols=("fp",),
             sum_cols=("n_docs",),
-            marker={"wn_ckpt": ckpt, "wn_batch_id": batch_id, "wn_batch_fp": batch_fp},
-            n_parts=state_parts,
+            marker=make_marker(
+                "wn", ckpt, batch_id, batch_fp, params={"k": k, "w": w}
+            ),
+            n_parts=parts,
         )
 
     return (
@@ -195,11 +201,22 @@ def stream_incremental_winnow(
 
 
 def read_winnow_pairs(spark: SparkSession, catalog: Catalog) -> DataFrame:
-    """Near-dup pairs emitted so far, exactly-once view: a crashed
-    batch's retry may have re-appended identical rows — identical
-    content, so dropDuplicates restores the exactly-once set."""
+    """Near-dup pairs emitted so far, exactly-once view. A crashed
+    batch's retry re-appends its pairs (at-least-once); in the one
+    crash window where the retry's rows can differ — a crash inside
+    the df fold leaves some buckets folded, the retry's emit-time df
+    reads overcount, the rare-fp set shrinks, n_shared comes out
+    SMALLER — the first attempt's correct rows are already in the log
+    (appends precede the fold), so max(n_shared) per (pair, batch) is
+    exactly the pre-crash value. Identical re-appends fold to the same
+    row either way."""
     if not catalog.append_has_data(_PAIRS):
         return spark.createDataFrame(
             [], "id_a long, id_b long, n_shared long, batch_id long"
         )
-    return catalog.read_append(_PAIRS).dropDuplicates(["id_a", "id_b", "batch_id"])
+    return (
+        catalog.read_append(_PAIRS)
+        .groupBy("id_a", "id_b", "batch_id")
+        .agg(F.max("n_shared").alias("n_shared"))
+        .select("id_a", "id_b", "n_shared", "batch_id")
+    )

@@ -82,6 +82,7 @@ from tempel_spark.plans.pipeline import (
     extract_mention_table,
 )
 from tempel_spark.sources.catalog import Catalog
+from tempel_spark.streaming._replay import batch_content_fp, check_replay, make_marker
 from tempel_spark.streaming.incremental import TRANSCRIPT_SCHEMA
 
 __all__ = ["stream_incremental_er", "read_scored_pairs", "recluster"]
@@ -269,72 +270,36 @@ def stream_incremental_er(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bn = _batch_norms(batch_df, snapshots).localCheckpoint(eager=True)
-        fp_row = bn.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.expr("bit_xor(xxhash64(snapshot_ts, norm, n_mentions))"), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        batch_fp = f"{fp_row['n']}:{fp_row['h']}"
-        # REPLAY GUARD: the vocab commit carries the applied batch id +
-        # a content fingerprint ATOMICALLY with its contents (inline
-        # meta rides the same commit rename). A batch replayed after a
-        # crash in the offset commit window would otherwise re-fold
-        # its counts into a vocab that already contains them, doubling
-        # n_mentions and corrupting the abbreviation priors. The
-        # fingerprint distinguishes a true replay (same content →
-        # skip) from a wiped stream checkpoint presenting a GROWN file
-        # set under the same batch id — skipping that would silently
-        # drop the new files' mentions, so it fails loudly instead.
-        applied = catalog.get_inline_meta(_VOCAB) or {}
-        if applied.get("er_batch_id") is not None and applied.get("er_ckpt") != ckpt:
-            # A marker from a DIFFERENT checkpoint dir means the stream
-            # was re-pointed (new/relocated checkpoint) over kept ER
-            # state: batch 0 would re-read every file and re-fold
-            # already-applied counts — the exact corruption the id/fp
-            # guard below prevents, but silent because the ids never
-            # line up. Fail loudly instead of skipping the guard.
-            raise RuntimeError(
-                "stream checkpoint / ER state mismatch: this catalog's "
-                f"vocabulary was committed under checkpoint "
-                f"{applied.get('er_ckpt')!r} but the stream is running with "
-                f"checkpoint {ckpt!r}. A fresh checkpoint dir replays every "
-                "file and would re-fold already-applied counts into the "
-                "vocabulary. Supported reset: delete the catalog's stream_* "
-                "state AND the stream checkpoint together (they live and "
-                "die as a pair), or point the stream back at its original "
-                "checkpoint dir."
-            )
-        if applied.get("er_ckpt") == ckpt and applied.get("er_batch_id") is not None:
-            applied_id = applied["er_batch_id"]
-            mismatch = RuntimeError(
-                "stream checkpoint / ER state mismatch: the catalog has "
-                f"applied batch {applied_id} but the stream presented batch "
-                f"{batch_id} with unrecognized contents. The stream "
-                "checkpoint dir was likely deleted while the catalog state "
-                "was kept — they must live and die together. Start a fresh "
-                "catalog (or restore the checkpoint) instead."
-            )
-            if batch_id == applied_id:
-                # missing fp = marker from before fingerprinting: the id
-                # match alone identified a true replay then; keep that
-                # behavior rather than forcing a state reset
-                if applied.get("er_batch_fp") in (None, batch_fp):
-                    catalog.log_metrics(
-                        f"stream_er_batch_{batch_id}", {"replayed": True}
-                    )
-                    return
-                raise mismatch
-            if batch_id < applied_id:
-                # a rewound stream (fresh checkpoint) re-presenting old
-                # ids would re-fold already-applied counts — never safe
-                raise mismatch
+        batch_fp = batch_content_fp(bn, ("snapshot_ts", "norm", "n_mentions"))
+        # REPLAY GUARD (shared, streaming/_replay.py): the vocab commit
+        # carries the applied batch id + a content fingerprint
+        # ATOMICALLY with its contents (inline meta rides the same
+        # commit rename). A batch replayed after a crash in the offset
+        # commit window would otherwise re-fold its counts into a
+        # vocab that already contains them, doubling n_mentions and
+        # corrupting the abbreviation priors; a wiped checkpoint
+        # presenting different contents, a re-pointed checkpoint dir,
+        # and a rewound batch id all fail loudly instead.
+        if check_replay(
+            catalog.get_inline_meta(_VOCAB) or {},
+            "er", ckpt, batch_id, batch_fp,
+            state_desc="ER state",
+        ):
+            catalog.log_metrics(f"stream_er_batch_{batch_id}", {"replayed": True})
+            return
         # BUCKET-PRICED newness check: a norm can only collide with
         # vocab rows in its own hash bucket, so the anti-join reads
         # exactly the delta's buckets (partition-pruned), never the
         # full state table. Iceberg mode has no local bucket dirs to
         # prune by hand — the bucket(n, norm) partition transform lets
         # the engine prune the same way on the full read.
+        # the bucket layout is fixed at table creation — adopt the
+        # table's n_parts BEFORE any append, or a resume with a
+        # different state_parts would compute wrong bucket ids, miss
+        # prior vocab rows, and pollute the pair log before
+        # upsert_fold's spec check could fire
+        spec = catalog.upsert_spec(_VOCAB)
+        parts = spec["n_parts"] if spec is not None else state_parts
         prev_touched = None
         if catalog.use_iceberg:
             if catalog.exists(_VOCAB):
@@ -345,7 +310,7 @@ def stream_incremental_er(
             touched = [
                 r["_b"]
                 for r in bn.select(
-                    upsert_bucket_col(("snapshot_ts", "norm"), state_parts).alias("_b")
+                    upsert_bucket_col(("snapshot_ts", "norm"), parts).alias("_b")
                 ).distinct().collect()
             ]
             prev_touched = catalog.read_upsert_buckets(_VOCAB, touched)
@@ -465,10 +430,8 @@ def stream_incremental_er(
             _VOCAB,
             key_cols=("snapshot_ts", "norm"),
             sum_cols=("n_mentions",),
-            marker={
-                "er_ckpt": ckpt, "er_batch_id": batch_id, "er_batch_fp": batch_fp,
-            },
-            n_parts=state_parts,
+            marker=make_marker("er", ckpt, batch_id, batch_fp),
+            n_parts=parts,
         )
         catalog.log_metrics(
             f"stream_er_batch_{batch_id}", {"n_new_norms": n_new, "paired": n_new > 0}
