@@ -26,6 +26,7 @@ __all__ = [
     "paper_stats_matrix",
     "candidate_similarity_by_cut",
     "strict_majority",
+    "key_skew_profile",
     "DEFAULT_KS",
 ]
 
@@ -546,4 +547,50 @@ def candidate_similarity_by_cut(
     )
     return micro.join(macro, cut_col).select(
         cut_col, "jaccard_micro", "jaccard_macro", "n_mentions"
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Hot-key census — the diagnostic that decides whether a join or
+    groupBy on ``key_cols`` needs salting (blocking.salt_hot_blocks) or
+    AQE skew splitting before it runs at scale.
+
+    One row per top-``top_n`` key by row count (ties broken by key
+    value — deterministic under any partitioning), each carrying the
+    global context: rank, n_rows, share (of all rows), skew_factor
+    (n_rows / mean rows-per-key), n_keys, n_total.
+
+    Scale posture: the per-key counts are one map-side-combinable hash
+    agg; the global stats are a one-row aggregate of that; the top-N is
+    Spark's distributed TakeOrdered (per-partition top-N then merge —
+    never a global sort), and rank/share/skew are computed on the
+    ≤top_n-row result against the broadcast one-row stats frame.
+    """
+    key_exprs = [F.col(k) for k in key_cols]
+    counts = df.groupBy(*key_exprs).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_total"),
+        F.avg("n_rows").alias("_mean"),
+    )
+    order = [F.desc("n_rows"), *[F.asc(k) for k in key_cols]]
+    top = counts.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)  # <= top_n rows: the tiny-frame window
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            *key_cols,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("n_total"), decimals).alias("share"),
+            F.round(F.col("n_rows") / F.col("_mean"), decimals).alias("skew_factor"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
     )

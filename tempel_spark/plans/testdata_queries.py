@@ -515,6 +515,7 @@ from tempel_spark.plans import testdata_queries_er  # noqa: E402,F401
 from tempel_spark.plans import testdata_queries_dedup  # noqa: E402,F401
 from tempel_spark.plans import testdata_queries_misc  # noqa: E402,F401
 from tempel_spark.plans import testdata_queries_dataset  # noqa: E402,F401
+from tempel_spark.plans import testdata_queries_linkage  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Driver-window rotation.  The per-round correctness driver adjudicates

@@ -1,0 +1,236 @@
+"""Record-linkage calibration / graph-QA / blocking-diagnostics
+queries with DuckDB oracles: Fellegi–Sunter weight estimation and
+scoring, per-edge triangle support (false-match bridge triage),
+Soundex phonetic blocking keys, and the hot-key skew census."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tempel_spark.functions.phonetic import soundex_code, soundex_sql
+from tempel_spark.plans.testdata_queries import register, t
+
+# --- Fellegi–Sunter fixture: part records blocked on -----------------
+# (first name word, brand); gold = exact name equality. f_w2 is a
+# near-perfect predictor (m≈1, u≈0 → large weights of both signs),
+# f_type / f_size are deliberate noise features (m≈u → weights ≈ 0):
+# the estimator must recover both regimes.
+
+_FS_PAIRS_CTE = """
+    b AS (SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                 split_part(p_name, ' ', 1) AS w1,
+                 split_part(p_name, ' ', 2) AS w2
+          FROM part),
+    p AS (SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+                 (a.p_name = c.p_name) AS is_match,
+                 (a.w2 = c.w2) AS f_w2,
+                 (a.p_type = c.p_type) AS f_type,
+                 (abs(a.p_size - c.p_size) <= 2) AS f_size
+          FROM b a JOIN b c ON a.w1 = c.w1 AND a.p_brand = c.p_brand
+                           AND a.p_partkey < c.p_partkey),
+    agg AS (SELECT sum(is_match::int) AS nm,
+                   sum((NOT is_match)::int) AS nu,
+                   sum((is_match AND f_w2)::int) AS am1,
+                   sum((NOT is_match AND f_w2)::int) AS au1,
+                   sum((is_match AND f_type)::int) AS am2,
+                   sum((NOT is_match AND f_type)::int) AS au2,
+                   sum((is_match AND f_size)::int) AS am3,
+                   sum((NOT is_match AND f_size)::int) AS au3
+            FROM p),
+    w AS (SELECT 'f_w2' AS feature, am1 AS am, au1 AS au, nm, nu FROM agg
+          UNION ALL SELECT 'f_type', am2, au2, nm, nu FROM agg
+          UNION ALL SELECT 'f_size', am3, au3, nm, nu FROM agg),
+    wt AS (SELECT feature, nm::bigint AS n_match, nu::bigint AS n_nonmatch,
+                  round((am + 0.5) / (nm + 1), 6) AS m,
+                  round((au + 0.5) / (nu + 1), 6) AS u,
+                  round(log2(((am + 0.5) / (nm + 1)) / ((au + 0.5) / (nu + 1))), 6)
+                    AS agree_weight,
+                  round(log2((1 - (am + 0.5) / (nm + 1)) / (1 - (au + 0.5) / (nu + 1))), 6)
+                    AS disagree_weight
+           FROM w)
+"""
+
+
+def _fs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        F.expr("split_part(p_name, ' ', 1)").alias("w1"),
+        F.expr("split_part(p_name, ' ', 2)").alias("w2"),
+    )
+    left = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+        F.col("w2").alias("w2_a"), F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"), "w1", "p_brand",
+    )
+    right = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+        F.col("w2").alias("w2_b"), F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"), "w1", "p_brand",
+    )
+    return (
+        left.join(right, ["w1", "p_brand"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (F.col("name_a") == F.col("name_b")).alias("is_match"),
+            (F.col("w2_a") == F.col("w2_b")).alias("f_w2"),
+            (F.col("type_a") == F.col("type_b")).alias("f_type"),
+            (F.abs(F.col("size_a") - F.col("size_b")) <= 2).alias("f_size"),
+        )
+    )
+
+
+_FS_FEATURES = ["f_w2", "f_type", "f_size"]
+
+
+@register(
+    "q_fs_weights",
+    f"""
+    WITH {_FS_PAIRS_CTE}
+    SELECT * FROM wt
+    """,
+)
+def q_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter m/u estimation over labeled blocked part pairs:
+    one global conditional aggregation (4 sums per feature, one-row
+    result) reshaped to a per-feature weight table — the calibration
+    layer of a probabilistic linker, with smoothing keeping the
+    perfect-predictor feature's weights finite."""
+    from tempel_spark.operators.linkage import fs_weights
+
+    return fs_weights(_fs_pairs(spark, sf_dir), _FS_FEATURES)
+
+
+@register(
+    "q_fs_score",
+    f"""
+    WITH {_FS_PAIRS_CTE},
+    ws AS (SELECT
+      max(CASE WHEN feature = 'f_w2' THEN agree_weight END) AS aw1,
+      max(CASE WHEN feature = 'f_w2' THEN disagree_weight END) AS dw1,
+      max(CASE WHEN feature = 'f_type' THEN agree_weight END) AS aw2,
+      max(CASE WHEN feature = 'f_type' THEN disagree_weight END) AS dw2,
+      max(CASE WHEN feature = 'f_size' THEN agree_weight END) AS aw3,
+      max(CASE WHEN feature = 'f_size' THEN disagree_weight END) AS dw3
+      FROM wt)
+    SELECT p.id_a, p.id_b, p.f_w2, p.f_type, p.f_size,
+           round((CASE WHEN f_w2 THEN aw1 ELSE dw1 END)
+               + (CASE WHEN f_type THEN aw2 ELSE dw2 END)
+               + (CASE WHEN f_size THEN aw3 ELSE dw3 END), 6) AS fs_score
+    FROM p CROSS JOIN ws
+    """,
+)
+def q_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every blocked pair with the estimated FS weights: the
+    weight table (3 rows) folds into one codegen CASE chain — zero
+    shuffle, zero Python at pair scale. Feature order in the sum is
+    the feature_cols order on both engines (identical double
+    arithmetic)."""
+    from tempel_spark.operators.linkage import fs_score, fs_weights
+
+    pairs = _fs_pairs(spark, sf_dir)
+    wts = fs_weights(pairs, _FS_FEATURES)
+    return fs_score(pairs, wts).select(
+        "id_a", "id_b", "f_w2", "f_type", "f_size", "fs_score"
+    )
+
+
+@register(
+    "q_edge_support",
+    """
+    WITH e AS (
+      SELECT a.s_suppkey AS ea, b.s_suppkey AS eb
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+       AND abs(a.s_acctbal - b.s_acctbal) < 2000),
+    tri AS (SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z FROM e e1
+            JOIN e e2 ON e2.ea = e1.ea AND e2.eb > e1.eb
+            JOIN e e3 ON e3.ea = e1.eb AND e3.eb = e2.eb),
+    te AS (SELECT x AS ea, y AS eb FROM tri
+           UNION ALL SELECT x, z FROM tri
+           UNION ALL SELECT y, z FROM tri),
+    s AS (SELECT ea, eb, count(*) AS n FROM te GROUP BY ea, eb)
+    SELECT e.ea AS id_a, e.eb AS id_b,
+           coalesce(s.n, 0)::bigint AS n_triangles,
+           coalesce(s.n, 0) = 0 AS is_bridge_like
+    FROM e LEFT JOIN s USING (ea, eb)
+    """,
+)
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle support per match-graph edge (degree-ordered wedge
+    enumeration — hubs never fan out). Zero-support edges are the
+    bridge-like candidate false matches that would weld two entity
+    clusters; the fixture graph is the same-nation balance-threshold
+    supplier graph (61 edges / 25 triangles at sf0.01)."""
+    from tempel_spark.operators.graph import edge_triangle_support
+
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    a = s.select(F.col("s_suppkey").alias("ka"), F.col("s_nationkey").alias("nk"),
+                 F.col("s_acctbal").alias("ba"))
+    b = s.select(F.col("s_suppkey").alias("kb"), F.col("s_nationkey").alias("nk"),
+                 F.col("s_acctbal").alias("bb"))
+    edges = (
+        a.join(b, "nk")
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("ba") - F.col("bb")) < 2000)
+        )
+        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
+    )
+    return edge_triangle_support(edges)
+
+
+@register(
+    "q_soundex_blocks",
+    f"""
+    WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS word FROM part),
+    c AS (SELECT word, {soundex_sql("word", "duckdb")} AS code FROM w)
+    SELECT code, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+    FROM c GROUP BY code
+    """,
+)
+def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking-key census over part-name words: both engines
+    run the SAME Soundex expression (functions/phonetic.py renders one
+    SQL string per dialect), so the codes — not just counts — are
+    value-checked. n_distinct > 1 rows are the phonetic collisions the
+    blocking key exists to catch."""
+    p = t(spark, sf_dir, "part").select(
+        F.explode(F.split("p_name", " ")).alias("word")
+    )
+    return (
+        p.withColumn("code", soundex_code("word"))
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("word").alias("n_distinct"),
+        )
+    )
+
+
+@register(
+    "q_key_skew",
+    """
+    WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey),
+    st AS (SELECT count(*)::bigint AS n_keys, sum(n_rows)::bigint AS n_total,
+                  avg(n_rows) AS mean FROM c),
+    top AS (SELECT * FROM c ORDER BY n_rows DESC, l_suppkey LIMIT 10)
+    SELECT row_number() OVER (ORDER BY n_rows DESC, l_suppkey) AS rank,
+           l_suppkey, n_rows::bigint AS n_rows,
+           round(n_rows / n_total::double, 6) AS share,
+           round(n_rows / mean, 6) AS skew_factor,
+           n_keys, n_total
+    FROM top CROSS JOIN st
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key census of lineitem by supplier: top-10 keys by row count
+    (distributed TakeOrdered, never a global sort) with share and
+    skew-factor against the one-row global stats — the decide-before-
+    you-join diagnostic feeding salt_hot_blocks / AQE skew handling."""
+    from tempel_spark.operators.metrics import key_skew_profile
+
+    return key_skew_profile(
+        t(spark, sf_dir, "lineitem"), ["l_suppkey"], top_n=10
+    )

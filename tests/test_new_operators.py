@@ -1297,3 +1297,119 @@ def test_pr_curve_hand_computed(spark):
     ]
     (g2,) = [r for r in out if r.g == "g2"]
     assert g2.precision == 0.0 and g2.recall == 1.0
+
+
+def _py_soundex(s: str) -> str:
+    """Pure-Python mirror of functions/phonetic.py's spec (independent
+    implementation for the fuzz check)."""
+    import re
+
+    u = re.sub("[^A-Za-z]", "", s).upper()
+    if not u:
+        return ""
+    table = dict(zip("BFPVCGJKQSXZDTLMNRAEIOUY", "111122222222334556000000"))
+    coded = "".join(table[c] for c in u if c in table)  # H/W dropped
+    coded = re.sub(r"1+", "1", coded)
+    coded = re.sub(r"2+", "2", coded)
+    coded = re.sub(r"3+", "3", coded)
+    coded = re.sub(r"4+", "4", coded)
+    coded = re.sub(r"5+", "5", coded)
+    coded = re.sub(r"6+", "6", coded)
+    nz = coded.replace("0", "")
+    fc = table.get(u[0], "")
+    rest = nz if fc in ("", "0") else nz[1:]
+    return u[0] + rest[:3].ljust(3, "0")
+
+
+def test_soundex_classic_and_fuzz(spark):
+    import random
+
+    from tempel_spark.functions.phonetic import soundex_code
+
+    classic = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Honeyman": "H555",
+        "Pfister": "P236",  # first-letter-run variant (SQL Server/DB2)
+        "Washington": "W252", "Smith": "S530", "Smyth": "S530",
+        "Schmit": "S530", "": "", "42": "", "O'Brien": "O165",
+    }
+    rng = random.Random(7)
+    fuzz = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz '") for _ in range(rng.randint(0, 12)))
+        for _ in range(300)
+    ]
+    words = list(classic) + fuzz
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r["code"] for r in df.withColumn("code", soundex_code("word")).collect()}
+    for w, want in classic.items():
+        assert got[w] == want, (w, got[w], want)
+    for w in fuzz:
+        assert got[w] == _py_soundex(w), (w, got[w], _py_soundex(w))
+
+
+def test_fs_weights_hand_computed(spark):
+    from tempel_spark.operators.linkage import fs_score, fs_weights
+
+    # 4 matches (3 agree on f), 6 non-matches (1 agrees on f):
+    # m = 3.5/5 = 0.7, u = 1.5/7 ≈ 0.214286
+    rows = [(True, True)] * 3 + [(True, False)] + [(False, True)] + [(False, False)] * 5
+    df = spark.createDataFrame(rows, "is_match boolean, f boolean")
+    w = fs_weights(df, ["f"]).collect()[0]
+    assert (w["n_match"], w["n_nonmatch"]) == (4, 6)
+    assert abs(w["m"] - 0.7) < 1e-9
+    assert abs(w["u"] - 0.214286) < 1e-6
+    import math
+
+    assert abs(w["agree_weight"] - round(math.log2(0.7 / (1.5 / 7)), 6)) < 1e-6
+    assert abs(w["disagree_weight"] - round(math.log2(0.3 / (5.5 / 7)), 6)) < 1e-6
+
+    # scoring: TRUE → agree, FALSE → disagree, NULL → 0
+    pairs = spark.createDataFrame(
+        [(1, True), (2, False), (3, None)], "pid long, f boolean"
+    )
+    wt = fs_weights(df, ["f"])
+    got = {r["pid"]: r["fs_score"] for r in fs_score(pairs, wt).collect()}
+    assert abs(got[1] - w["agree_weight"]) < 1e-9
+    assert abs(got[2] - w["disagree_weight"]) < 1e-9
+    assert got[3] == 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fs_weights(df, [])
+    with pytest.raises(ValueError):
+        fs_score(pairs.select("pid"), wt)
+
+
+def test_edge_triangle_support_hand_graph(spark):
+    from tempel_spark.operators.graph import edge_triangle_support
+
+    # K4 on {1,2,3,4} (every edge in 2 triangles) + bridge 4-5 +
+    # pendant triangle {5,6,7}; duplicates/self-loops/reversed edges
+    # must not change anything.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (5, 6), (5, 7), (6, 7), (5, 5), (2, 1), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): (r["n_triangles"], r["is_bridge_like"])
+           for r in edge_triangle_support(df).collect()}
+    assert len(got) == 10  # 6 K4 + bridge + 3 pendant-triangle edges
+    for e in k4:
+        assert got[e] == (2, False)
+    assert got[(4, 5)] == (0, True)
+    for e in [(5, 6), (5, 7), (6, 7)]:
+        assert got[e] == (1, False)
+
+
+def test_key_skew_profile_determinism(spark):
+    from tempel_spark.operators.metrics import key_skew_profile
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string").repartition(7)
+    out = key_skew_profile(df, ["k"], top_n=3).collect()
+    assert [(r["rank"], r["k"], r["n_rows"]) for r in out] == [
+        (1, "a", 6), (2, "b", 3), (3, "c", 3)  # tie b/c broken by key
+    ]
+    top = out[0]
+    assert top["n_keys"] == 4 and top["n_total"] == 13
+    assert abs(top["share"] - round(6 / 13, 6)) < 1e-9
+    assert abs(top["skew_factor"] - round(6 / (13 / 4), 6)) < 1e-9
