@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["edge_triangle_support"]
+__all__ = ["edge_triangle_support", "robust_components"]
 
 
 def edge_triangle_support(
@@ -106,3 +106,33 @@ def edge_triangle_support(
             (F.coalesce(F.col("_n"), F.lit(0)) == 0).alias("is_bridge_like"),
         )
     )
+
+
+def robust_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_support: int = 1,
+):
+    """Bridge-pruned connected components: drop every edge with fewer
+    than ``min_support`` triangles (the bridge-like candidate false
+    matches), then recluster — the standard repair for two entities
+    welded together by a single spurious pair. Nodes that lose all
+    their edges stay in the result as singletons (the node universe is
+    the ORIGINAL edge set's endpoints), so no record silently
+    disappears from the clustering.
+
+    Returns a CCResult (components frame (node, component) +
+    convergence metadata) from operators/clustering.py — same
+    large-star/small-star machinery, same determinism guarantees.
+    """
+    from tempel_spark.operators.clustering import connected_components
+
+    sup = edge_triangle_support(edges, src, dst)
+    kept = sup.filter(F.col("n_triangles") >= min_support).select("id_a", "id_b")
+    nodes = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("id_a"))
+        .unionAll(edges.select(F.greatest(F.col(src), F.col(dst)).alias("id_a")))
+        .distinct()
+    )
+    return connected_components(kept, nodes=nodes)

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fs_weights", "fs_score"]
+__all__ = ["fs_weights", "fs_score", "fs_em"]
 
 
 def fs_weights(
@@ -130,3 +130,99 @@ def fs_score(
             .otherwise(F.lit(0.0))
         )
     return pairs.withColumn(out_col, F.round(score, decimals))
+
+
+def fs_em(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    n_iter: int = 3,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+    smoothing: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter estimation by expectation-
+    maximization (Winkler 1988; the calibration loop behind Splink):
+    no labels — the two-class mixture over the boolean feature vectors
+    is fit directly from the candidate pairs.
+
+    Per iteration: the E-step scores every pair's match posterior from
+    the current (λ, m, u) under conditional independence,
+        P(M|x) = λ·Π p_i / (λ·Π p_i + (1−λ)·Π q_i),
+        p_i = m_i if x_i else 1−m_i (NULL → 1: no information),
+    and the M-step re-estimates λ = mean posterior and the smoothed
+    posterior-weighted agreement rates
+        m_i = (Σ P·[x_i] + s) / (Σ P·[x_i non-null] + 2s)   (u_i dual).
+    Every parameter is rounded to ``decimals`` BEFORE the next E-step —
+    the repo's round-before-compare rule — so each iteration's
+    expression uses fixed constants and the trajectory is reproducible
+    on any engine or partitioning.
+
+    Scale posture: one global aggregation per iteration (2 + 2·k
+    conditional sums, map-side combinable, one collected row per
+    iteration — bounded by n_iter·k, never by pairs). Returns the
+    same weight-table shape as `fs_weights` plus the final match
+    prior: feature, m, u, agree_weight, disagree_weight, lam, n_pairs.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if not (0.0 < init_lambda < 1.0):
+        raise ValueError("init_lambda must be in (0, 1)")
+    s = float(smoothing)
+    lam = round(float(init_lambda), decimals)
+    params = {f: (round(float(init_m), decimals), round(float(init_u), decimals))
+              for f in feature_cols}
+    n_pairs = None
+    for _ in range(n_iter):
+        pm = F.lit(lam)
+        pu = F.lit(1.0 - lam)
+        for f in feature_cols:
+            fc = F.col(f).cast("boolean")
+            m_f, u_f = params[f]
+            pm = pm * (
+                F.when(fc == True, F.lit(m_f))  # noqa: E712
+                .when(fc == False, F.lit(1.0 - m_f))  # noqa: E712
+                .otherwise(F.lit(1.0))
+            )
+            pu = pu * (
+                F.when(fc == True, F.lit(u_f))  # noqa: E712
+                .when(fc == False, F.lit(1.0 - u_f))  # noqa: E712
+                .otherwise(F.lit(1.0))
+            )
+        post = (pm / (pm + pu)).alias("_p")
+        base = pairs.select(post, *feature_cols)
+        aggs = [F.count(F.lit(1)).alias("_n"), F.sum("_p").alias("_sp")]
+        for f in feature_cols:
+            fc = F.col(f).cast("boolean")
+            nn = fc.isNotNull().cast("double")
+            aggs.append(F.sum(F.col("_p") * (fc == True).cast("double")).alias(f"_a_{f}"))  # noqa: E712
+            aggs.append(F.sum(F.col("_p") * nn).alias(f"_an_{f}"))
+            aggs.append(F.sum((1 - F.col("_p")) * (fc == True).cast("double")).alias(f"_b_{f}"))  # noqa: E712
+            aggs.append(F.sum((1 - F.col("_p")) * nn).alias(f"_bn_{f}"))
+        row = base.agg(*aggs).collect()[0]
+        n_pairs = int(row["_n"])
+        lam = round(row["_sp"] / row["_n"], decimals)
+        params = {
+            f: (
+                round((row[f"_a_{f}"] + s) / (row[f"_an_{f}"] + 2 * s), decimals),
+                round((row[f"_b_{f}"] + s) / (row[f"_bn_{f}"] + 2 * s), decimals),
+            )
+            for f in feature_cols
+        }
+    spark = pairs.sparkSession
+    out = spark.createDataFrame(
+        [
+            (f, params[f][0], params[f][1], lam, n_pairs)
+            for f in feature_cols
+        ],
+        "feature string, m double, u double, lam double, n_pairs long",
+    )
+    return out.select(
+        "feature", "m", "u",
+        F.round(F.log2(F.col("m") / F.col("u")), decimals).alias("agree_weight"),
+        F.round(F.log2((1 - F.col("m")) / (1 - F.col("u"))), decimals).alias(
+            "disagree_weight"
+        ),
+        "lam", "n_pairs",
+    )

@@ -234,3 +234,139 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         t(spark, sf_dir, "lineitem"), ["l_suppkey"], top_n=10
     )
+
+
+def _em_iter_sql(lam: str, mu: dict, tag: str) -> str:
+    """One unrolled EM iteration: posterior from the given (λ, m, u)
+    SQL expressions, then the M-step aggregate + rounded re-estimates.
+    Emits CTEs p{tag} / agg{tag} / r{tag}."""
+    pm = " * ".join(
+        [lam] + [f"(CASE WHEN {f} THEN {m} ELSE 1 - ({m}) END)" for f, (m, _) in mu.items()]
+    )
+    pu = " * ".join(
+        [f"(1 - ({lam}))"]
+        + [f"(CASE WHEN {f} THEN {u} ELSE 1 - ({u}) END)" for f, (_, u) in mu.items()]
+    )
+    a_sums = ",\n           ".join(
+        f"sum(post * ({f})::int) AS a_{f}, sum((1 - post) * ({f})::int) AS b_{f}"
+        for f in mu
+    )
+    ests = ",\n           ".join(
+        f"round((a_{f} + 0.5) / (sp + 1), 6) AS m_{f}, "
+        f"round((b_{f} + 0.5) / ((n_ct - sp) + 1), 6) AS u_{f}"
+        for f in mu
+    )
+    src = "p" if tag == "1" else f"p CROSS JOIN r{int(tag) - 1}"
+    return f"""
+    pp{tag} AS (SELECT *, pm / (pm + pu) AS post FROM (
+        SELECT *, {pm} AS pm, {pu} AS pu
+        FROM {src})),
+    agg{tag} AS (SELECT count(*)::bigint AS n_ct, sum(post) AS sp,
+           {a_sums}
+           FROM pp{tag}),
+    r{tag} AS (SELECT n_ct, round(sp / n_ct, 6) AS lam,
+           {ests}
+           FROM agg{tag})"""
+
+
+_EM_FEATURES = {"f_w2": ("0.9", "0.1"), "f_type": ("0.9", "0.1"), "f_size": ("0.9", "0.1")}
+_EM_IT1 = _em_iter_sql("0.1", _EM_FEATURES, "1")
+_EM_IT2 = _em_iter_sql(
+    "lam", {f: (f"m_{f}", f"u_{f}") for f in _EM_FEATURES}, "2"
+)
+
+
+@register(
+    "q_fs_em",
+    f"""
+    WITH {_FS_PAIRS_CTE},
+    {_EM_IT1},
+    {_EM_IT2}
+    SELECT feature, m, u,
+           round(log2(m / u), 6) AS agree_weight,
+           round(log2((1 - m) / (1 - u)), 6) AS disagree_weight,
+           lam, n_ct AS n_pairs
+    FROM (
+      SELECT 'f_w2' AS feature, m_f_w2 AS m, u_f_w2 AS u, lam, n_ct FROM r2
+      UNION ALL SELECT 'f_type', m_f_type, u_f_type, lam, n_ct FROM r2
+      UNION ALL SELECT 'f_size', m_f_size, u_f_size, lam, n_ct FROM r2)
+    """,
+)
+def q_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter calibration: two EM iterations over
+    the blocked part pairs with NO labels — the estimator must
+    discover on its own that f_w2 separates the match mixture while
+    f_type / f_size carry no evidence. Every parameter rounds to 6 dp
+    before the next E-step, so the whole trajectory (both engines
+    unroll the same two iterations) is value-checked, not just the
+    fixed point."""
+    from tempel_spark.operators.linkage import fs_em
+
+    return fs_em(_fs_pairs(spark, sf_dir), _EM_FEATURES_LIST, n_iter=2)
+
+
+_EM_FEATURES_LIST = list(_EM_FEATURES)
+
+
+_SUPPLIER_GRAPH_CTE = """
+    e AS (
+      SELECT a.s_suppkey AS ea, b.s_suppkey AS eb
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+       AND abs(a.s_acctbal - b.s_acctbal) < 2000),
+    tri AS (SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z FROM e e1
+            JOIN e e2 ON e2.ea = e1.ea AND e2.eb > e1.eb
+            JOIN e e3 ON e3.ea = e1.eb AND e3.eb = e2.eb),
+    te AS (SELECT x AS ea, y AS eb FROM tri
+           UNION ALL SELECT x, z FROM tri
+           UNION ALL SELECT y, z FROM tri),
+    s AS (SELECT ea, eb, count(*) AS n FROM te GROUP BY ea, eb)
+"""
+
+
+@register(
+    "q_robust_components",
+    f"""
+    WITH RECURSIVE
+    {_SUPPLIER_GRAPH_CTE},
+    kept AS (SELECT e.ea AS a, e.eb AS b FROM e LEFT JOIN s USING (ea, eb)
+             WHERE coalesce(s.n, 0) >= 1),
+    ed AS (SELECT a, b FROM kept UNION SELECT b, a FROM kept),
+    reach(n, m) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.n, e2.b FROM reach r JOIN ed e2 ON r.m = e2.a),
+    comp AS (SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n),
+    -- DuckDB quirk: inside a WITH RECURSIVE list, a non-self-referencing
+    -- UNION CTE is NOT deduplicated (it parses as base/step) — dedup
+    -- explicitly with DISTINCT over UNION ALL.
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT ea AS node FROM e UNION ALL SELECT eb FROM e))
+    SELECT nodes.node, coalesce(comp.component, nodes.node) AS component
+    FROM nodes LEFT JOIN comp USING (node)
+    """,
+)
+def q_robust_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge-pruned reclustering of the supplier match graph: edges
+    with zero triangle support (the bridge-like candidate false
+    matches) are dropped, components recomputed with the full original
+    node universe (orphaned nodes become singletons). Oracle =
+    triangle prune + recursive-CTE transitive closure."""
+    from tempel_spark.operators.graph import robust_components
+
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    a = sup.select(F.col("s_suppkey").alias("ka"), F.col("s_nationkey").alias("nk"),
+                   F.col("s_acctbal").alias("ba"))
+    b = sup.select(F.col("s_suppkey").alias("kb"), F.col("s_nationkey").alias("nk"),
+                   F.col("s_acctbal").alias("bb"))
+    edges = (
+        a.join(b, "nk")
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("ba") - F.col("bb")) < 2000)
+        )
+        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
+    )
+    return robust_components(edges, min_support=1).components.select(
+        F.col("node"), F.col("component")
+    )

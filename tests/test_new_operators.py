@@ -1413,3 +1413,90 @@ def test_key_skew_profile_determinism(spark):
     assert top["n_keys"] == 4 and top["n_total"] == 13
     assert abs(top["share"] - round(6 / 13, 6)) < 1e-9
     assert abs(top["skew_factor"] - round(6 / (13 / 4), 6)) < 1e-9
+
+
+def _py_fs_em(rows, n_iter, init_m=0.9, init_u=0.1, init_lam=0.1, s=0.5):
+    """Independent plain-Python mirror of linkage.fs_em for one
+    feature list; rows = list of dicts feature->bool|None."""
+    feats = sorted(rows[0])
+    lam = round(init_lam, 6)
+    params = {f: (round(init_m, 6), round(init_u, 6)) for f in feats}
+    for _ in range(n_iter):
+        sp = 0.0
+        acc = {f: [0.0, 0.0, 0.0, 0.0] for f in feats}  # a, an, b, bn
+        for r in rows:
+            pm, pu = lam, 1 - lam
+            for f in feats:
+                m, u = params[f]
+                if r[f] is True:
+                    pm, pu = pm * m, pu * u
+                elif r[f] is False:
+                    pm, pu = pm * (1 - m), pu * (1 - u)
+            p = pm / (pm + pu)
+            sp += p
+            for f in feats:
+                if r[f] is not None:
+                    acc[f][1] += p
+                    acc[f][3] += 1 - p
+                    if r[f]:
+                        acc[f][0] += p
+                        acc[f][2] += 1 - p
+        n = len(rows)
+        lam = round(sp / n, 6)
+        params = {
+            f: (
+                round((acc[f][0] + s) / (acc[f][1] + 2 * s), 6),
+                round((acc[f][2] + s) / (acc[f][3] + 2 * s), 6),
+            )
+            for f in feats
+        }
+    return lam, params
+
+
+def test_fs_em_matches_python_mirror(spark):
+    import random
+
+    from tempel_spark.operators.linkage import fs_em
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(200):
+        match = rng.random() < 0.3
+        f1 = rng.random() < (0.9 if match else 0.15)
+        f2 = rng.random() < 0.5  # pure noise
+        f3 = None if rng.random() < 0.1 else rng.random() < (0.7 if match else 0.3)
+        rows.append({"f1": f1, "f2": f2, "f3": f3})
+    df = spark.createDataFrame(
+        [(r["f1"], r["f2"], r["f3"]) for r in rows],
+        "f1 boolean, f2 boolean, f3 boolean",
+    ).repartition(5)
+    got = {r["feature"]: r for r in fs_em(df, ["f1", "f2", "f3"], n_iter=3).collect()}
+    lam, params = _py_fs_em(rows, n_iter=3)
+    for f in ("f1", "f2", "f3"):
+        assert abs(got[f]["m"] - params[f][0]) < 2e-6, (f, got[f]["m"], params[f][0])
+        assert abs(got[f]["u"] - params[f][1]) < 2e-6
+        assert abs(got[f]["lam"] - lam) < 2e-6
+        assert got[f]["n_pairs"] == 200
+    # the planted structure is recovered without labels: f1 separates,
+    # f2 carries ~no evidence
+    assert got["f1"]["m"] > 0.6 and got["f1"]["u"] < 0.25
+    assert abs(got["f2"]["agree_weight"]) < abs(got["f1"]["agree_weight"]) / 3
+
+
+def test_robust_components_prunes_bridge(spark):
+    from tempel_spark.operators.graph import robust_components
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (5, 6), (5, 7), (6, 7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    res = robust_components(df, min_support=1)
+    got = {r["node"]: r["component"] for r in res.components.collect()}
+    # bridge 4-5 removed: K4 stays one cluster, pendant triangle its own
+    assert {n: got[n] for n in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert {n: got[n] for n in (5, 6, 7)} == {5: 5, 6: 5, 7: 5}
+    assert set(got) == set(range(1, 8))  # nobody dropped
+
+    # min_support high enough prunes everything -> all singletons
+    res2 = robust_components(df, min_support=5)
+    got2 = {r["node"]: r["component"] for r in res2.components.collect()}
+    assert got2 == {n: n for n in range(1, 8)}
