@@ -102,6 +102,14 @@ def run_pipeline_bench(spark, sf: float, scale_mult: int = 1, profile: bool = Tr
     }
 
 
+def med(xs: list[float]) -> float:
+    """Median rounded to ms — shared by the headline bench and the
+    scaling-evidence legs so the two paths can never diverge."""
+    s = sorted(xs)
+    m = len(s) // 2
+    return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
+
 def main() -> None:
     from tempel_spark.session import get_spark
 
@@ -179,11 +187,6 @@ def main() -> None:
             line = [ln for ln in p.stdout.splitlines() if ln.startswith("PIPELINE_RESULT ")]
             return json.loads(line[0].split(" ", 1)[1]) if line else {"error": p.stderr[-500:]}
 
-        def med(xs: list[float]) -> float:
-            s = sorted(xs)
-            m = len(s) // 2
-            return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
-
         legs: dict[int, list[dict]] = {lo: [], hi: []}
         for r in range(reps):
             for n in (lo, hi):  # alternate: drift hits both legs alike
@@ -254,11 +257,6 @@ def main() -> None:
             for k in ("n_mentions", "n_pairs_scored", "n_components"):
                 assert p[k] == pipe[k], f"rep-unstable invariant {k}: {p[k]} != {pipe[k]}"
         pipe = p
-
-    def med(xs: list[float]) -> float:
-        s = sorted(xs)
-        m = len(s) // 2
-        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
 
     timings = {n: med(v) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)

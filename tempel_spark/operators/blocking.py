@@ -323,6 +323,12 @@ def sorted_neighborhood_pairs(
                     ).otherwise(F.col("_bkt")),
                 )
                 .drop("_deepen")
+                # deepening actually happened: pin this round's labels
+                # so the next round's count — and the final offset/rank
+                # jobs — don't re-derive the whole prior join chain from
+                # the base scan each time (the common no-deepening path
+                # never pays this)
+                .localCheckpoint(eager=True)
             )
         w_local = Window.partitionBy(*groups, "_bkt").orderBy(
             F.col("key_a").asc(), F.col("id_a").asc()

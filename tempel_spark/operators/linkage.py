@@ -50,10 +50,16 @@ def fs_weights(
     (0, 1) so the log weights stay finite even for a feature that
     always (or never) agrees in the sample.
 
-    Returns one row per feature: feature, n_match, n_nonmatch, m, u,
-    agree_weight, disagree_weight — all probabilities/weights rounded
-    to ``decimals`` (the repo's round-before-compare determinism rule:
-    a double sum's addition order is partition-dependent).
+    NULL feature values (comparison not possible) are excluded from
+    that feature's numerator AND denominator — missing at random, the
+    same convention `fs_score` (NULL → 0) and `fs_em` apply — never
+    counted as disagreement.
+
+    Returns one row per feature: feature, n_match, n_nonmatch (global
+    label counts), m, u, agree_weight, disagree_weight — all
+    probabilities/weights rounded to ``decimals`` (the repo's
+    round-before-compare determinism rule: a double sum's addition
+    order is partition-dependent).
     """
     if not feature_cols:
         raise ValueError("feature_cols must be non-empty")
@@ -64,8 +70,14 @@ def fs_weights(
     ]
     for f in feature_cols:
         fc = F.col(f).cast("boolean")
+        # NULL = comparison not possible: excluded from BOTH the
+        # numerator and this feature's denominator (missing at random —
+        # the same convention fs_score and fs_em apply), not counted as
+        # disagreement.
         aggs.append(F.sum(F.when(lbl & (fc == True), 1).otherwise(0)).alias(f"_am_{f}"))  # noqa: E712
+        aggs.append(F.sum(F.when(lbl & fc.isNotNull(), 1).otherwise(0)).alias(f"_anm_{f}"))
         aggs.append(F.sum(F.when((~lbl) & (fc == True), 1).otherwise(0)).alias(f"_au_{f}"))  # noqa: E712
+        aggs.append(F.sum(F.when((~lbl) & fc.isNotNull(), 1).otherwise(0)).alias(f"_anu_{f}"))
     one = labeled.agg(*aggs)
     melted = one.select(
         "_nm",
@@ -76,16 +88,18 @@ def fs_weights(
                     F.struct(
                         F.lit(f).alias("feature"),
                         F.col(f"_am_{f}").alias("_am"),
+                        F.col(f"_anm_{f}").alias("_anm"),
                         F.col(f"_au_{f}").alias("_au"),
+                        F.col(f"_anu_{f}").alias("_anu"),
                     )
                     for f in feature_cols
                 ]
             )
         ).alias("_f"),
-    ).select("_nm", "_nu", "_f.feature", "_f._am", "_f._au")
+    ).select("_nm", "_nu", "_f.feature", "_f._am", "_f._anm", "_f._au", "_f._anu")
     s = float(smoothing)
-    m = (F.col("_am") + s) / (F.col("_nm") + 2 * s)
-    u = (F.col("_au") + s) / (F.col("_nu") + 2 * s)
+    m = (F.col("_am") + s) / (F.col("_anm") + 2 * s)
+    u = (F.col("_au") + s) / (F.col("_anu") + 2 * s)
     return melted.select(
         "feature",
         F.col("_nm").cast("long").alias("n_match"),

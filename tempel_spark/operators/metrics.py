@@ -210,17 +210,32 @@ def blocking_quality(
     emit overlapping pairs — dedupe them through ``candidate_pairs``
     and score the pair list with ``eval_labeled_pairs`` instead.
 
+    Nodes missing from ``gold`` (partial labeling, the common ER
+    case) still count toward n_nodes / cand_pairs / RR — they cost
+    candidates whether or not anyone labeled them — but not toward
+    matched/gold pairs: PC stays exact on the labeled subset, PQ
+    becomes the known-match fraction of all candidates (a lower
+    bound under partial coverage).
+
     Output: group_cols…, n_nodes, cand_pairs, matched_pairs,
     gold_pairs, pairs_completeness, pair_quality, reduction_ratio.
     """
     groups = group_cols or []
     shared = [c for c in groups if c in gold.columns and c in blocks.columns]
     extra = [c for c in groups if c in gold.columns and c not in blocks.columns]
+    # LEFT join: nodes without a gold label still cost candidate pairs
+    # (cand_pairs / n_nodes / RR count them); they are excluded from
+    # matched_pairs and gold_pairs, so with PARTIAL gold coverage PQ is
+    # the known-match fraction of all candidates (a lower bound) while
+    # PC stays exact over the labeled subset. Grouping by a gold-side
+    # column (`extra`) puts unlabeled nodes in a NULL group — use full
+    # coverage when grouping that way.
     j = blocks.join(
-        gold.select(node_col, gold_col, *shared, *extra), [node_col, *shared]
+        gold.select(node_col, gold_col, *shared, *extra), [node_col, *shared], "left"
     )
     cont = j.groupBy(*groups, block_col, gold_col).agg(F.count(F.lit(1)).alias("i"))
-    matched = cont.groupBy(*groups).agg(
+    labeled = cont.filter(F.col(gold_col).isNotNull())
+    matched = labeled.groupBy(*groups).agg(
         F.sum(_n_choose_2(F.col("i"))).alias("matched_pairs")
     )
     cand = (
@@ -232,14 +247,17 @@ def blocking_quality(
         )
     )
     gpairs = (
-        cont.groupBy(*groups, gold_col).agg(F.sum("i").alias("n"))
+        labeled.groupBy(*groups, gold_col).agg(F.sum("i").alias("n"))
         .groupBy(*groups)
         .agg(F.sum(_n_choose_2(F.col("n"))).alias("gold_pairs"))
     )
     if groups:
-        base = matched.join(cand, groups).join(gpairs, groups)
+        base = cand.join(matched, groups, "left").join(gpairs, groups, "left")
     else:
-        base = matched.crossJoin(cand).crossJoin(gpairs)
+        base = cand.crossJoin(matched).crossJoin(gpairs)
+    base = base.withColumn(
+        "matched_pairs", F.coalesce(F.col("matched_pairs"), F.lit(0))
+    ).withColumn("gold_pairs", F.coalesce(F.col("gold_pairs"), F.lit(0)))
     total = _n_choose_2(F.col("n_nodes"))
     return base.select(
         *groups,

@@ -32,21 +32,27 @@ _FS_PAIRS_CTE = """
     agg AS (SELECT sum(is_match::int) AS nm,
                    sum((NOT is_match)::int) AS nu,
                    sum((is_match AND f_w2)::int) AS am1,
+                   sum((is_match AND f_w2 IS NOT NULL)::int) AS anm1,
                    sum((NOT is_match AND f_w2)::int) AS au1,
+                   sum((NOT is_match AND f_w2 IS NOT NULL)::int) AS anu1,
                    sum((is_match AND f_type)::int) AS am2,
+                   sum((is_match AND f_type IS NOT NULL)::int) AS anm2,
                    sum((NOT is_match AND f_type)::int) AS au2,
+                   sum((NOT is_match AND f_type IS NOT NULL)::int) AS anu2,
                    sum((is_match AND f_size)::int) AS am3,
-                   sum((NOT is_match AND f_size)::int) AS au3
+                   sum((is_match AND f_size IS NOT NULL)::int) AS anm3,
+                   sum((NOT is_match AND f_size)::int) AS au3,
+                   sum((NOT is_match AND f_size IS NOT NULL)::int) AS anu3
             FROM p),
-    w AS (SELECT 'f_w2' AS feature, am1 AS am, au1 AS au, nm, nu FROM agg
-          UNION ALL SELECT 'f_type', am2, au2, nm, nu FROM agg
-          UNION ALL SELECT 'f_size', am3, au3, nm, nu FROM agg),
+    w AS (SELECT 'f_w2' AS feature, am1 AS am, anm1 AS anm, au1 AS au, anu1 AS anu, nm, nu FROM agg
+          UNION ALL SELECT 'f_type', am2, anm2, au2, anu2, nm, nu FROM agg
+          UNION ALL SELECT 'f_size', am3, anm3, au3, anu3, nm, nu FROM agg),
     wt AS (SELECT feature, nm::bigint AS n_match, nu::bigint AS n_nonmatch,
-                  round((am + 0.5) / (nm + 1), 6) AS m,
-                  round((au + 0.5) / (nu + 1), 6) AS u,
-                  round(log2(((am + 0.5) / (nm + 1)) / ((au + 0.5) / (nu + 1))), 6)
+                  round((am + 0.5) / (anm + 1), 6) AS m,
+                  round((au + 0.5) / (anu + 1), 6) AS u,
+                  round(log2(((am + 0.5) / (anm + 1)) / ((au + 0.5) / (anu + 1))), 6)
                     AS agree_weight,
-                  round(log2((1 - (am + 0.5) / (nm + 1)) / (1 - (au + 0.5) / (nu + 1))), 6)
+                  round(log2((1 - (am + 0.5) / (anm + 1)) / (1 - (au + 0.5) / (anu + 1))), 6)
                     AS disagree_weight
            FROM w)
 """
@@ -136,10 +142,8 @@ def q_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_edge_support",
-    """
-    WITH e AS (
+_SUPPLIER_GRAPH_CTE = """
+    e AS (
       SELECT a.s_suppkey AS ea, b.s_suppkey AS eb
       FROM supplier a JOIN supplier b
         ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
@@ -151,6 +155,32 @@ def q_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNION ALL SELECT x, z FROM tri
            UNION ALL SELECT y, z FROM tri),
     s AS (SELECT ea, eb, count(*) AS n FROM te GROUP BY ea, eb)
+"""
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared fixture graph: same-nation suppliers within a 2000
+    balance delta (61 edges / 25 triangles at sf0.01) — one edge
+    builder, one oracle CTE, used by BOTH graph queries."""
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    a = sup.select(F.col("s_suppkey").alias("ka"), F.col("s_nationkey").alias("nk"),
+                   F.col("s_acctbal").alias("ba"))
+    b = sup.select(F.col("s_suppkey").alias("kb"), F.col("s_nationkey").alias("nk"),
+                   F.col("s_acctbal").alias("bb"))
+    return (
+        a.join(b, "nk")
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("ba") - F.col("bb")) < 2000)
+        )
+        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
+    )
+
+
+@register(
+    "q_edge_support",
+    f"""
+    WITH {_SUPPLIER_GRAPH_CTE}
     SELECT e.ea AS id_a, e.eb AS id_b,
            coalesce(s.n, 0)::bigint AS n_triangles,
            coalesce(s.n, 0) = 0 AS is_bridge_like
@@ -165,20 +195,7 @@ def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier graph (61 edges / 25 triangles at sf0.01)."""
     from tempel_spark.operators.graph import edge_triangle_support
 
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
-    a = s.select(F.col("s_suppkey").alias("ka"), F.col("s_nationkey").alias("nk"),
-                 F.col("s_acctbal").alias("ba"))
-    b = s.select(F.col("s_suppkey").alias("kb"), F.col("s_nationkey").alias("nk"),
-                 F.col("s_acctbal").alias("bb"))
-    edges = (
-        a.join(b, "nk")
-        .filter(
-            (F.col("ka") < F.col("kb"))
-            & (F.abs(F.col("ba") - F.col("bb")) < 2000)
-        )
-        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
-    )
-    return edge_triangle_support(edges)
+    return edge_triangle_support(_supplier_edges(spark, sf_dir))
 
 
 @register(
@@ -308,22 +325,6 @@ def q_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EM_FEATURES_LIST = list(_EM_FEATURES)
 
 
-_SUPPLIER_GRAPH_CTE = """
-    e AS (
-      SELECT a.s_suppkey AS ea, b.s_suppkey AS eb
-      FROM supplier a JOIN supplier b
-        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
-       AND abs(a.s_acctbal - b.s_acctbal) < 2000),
-    tri AS (SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z FROM e e1
-            JOIN e e2 ON e2.ea = e1.ea AND e2.eb > e1.eb
-            JOIN e e3 ON e3.ea = e1.eb AND e3.eb = e2.eb),
-    te AS (SELECT x AS ea, y AS eb FROM tri
-           UNION ALL SELECT x, z FROM tri
-           UNION ALL SELECT y, z FROM tri),
-    s AS (SELECT ea, eb, count(*) AS n FROM te GROUP BY ea, eb)
-"""
-
-
 @register(
     "q_robust_components",
     f"""
@@ -354,19 +355,6 @@ def q_robust_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle prune + recursive-CTE transitive closure."""
     from tempel_spark.operators.graph import robust_components
 
-    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
-    a = sup.select(F.col("s_suppkey").alias("ka"), F.col("s_nationkey").alias("nk"),
-                   F.col("s_acctbal").alias("ba"))
-    b = sup.select(F.col("s_suppkey").alias("kb"), F.col("s_nationkey").alias("nk"),
-                   F.col("s_acctbal").alias("bb"))
-    edges = (
-        a.join(b, "nk")
-        .filter(
-            (F.col("ka") < F.col("kb"))
-            & (F.abs(F.col("ba") - F.col("bb")) < 2000)
-        )
-        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
-    )
-    return robust_components(edges, min_support=1).components.select(
-        F.col("node"), F.col("component")
-    )
+    return robust_components(
+        _supplier_edges(spark, sf_dir), min_support=1
+    ).components.select(F.col("node"), F.col("component"))

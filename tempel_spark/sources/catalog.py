@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -474,14 +475,25 @@ class Catalog:
             # read() hits Spark's conflicting-directory-structure
             # error. State migration (read old + fold as delta into a
             # new name) or delete() is the caller's explicit move.
-            import glob as _glob
-
-            if _glob.glob(f"{_glob.escape(final)}/*.parquet"):
-                raise ValueError(
-                    f"upsert_fold target {name!r} already holds non-bucketed "
-                    f"data (root-level parquet without an upsert spec) — "
-                    "delete() it or migrate the legacy state explicitly"
-                )
+            # Legacy shapes to refuse: root-level parquet (plain
+            # write()) AND hive partition dirs (write(...,
+            # partition_by=...)) — both leave the old rows invisible to
+            # the keyed anti-join (every key looks "fresh" → counts
+            # double-fold) long before read() would fail on the
+            # conflicting directory structure. Anything in the final
+            # dir that is not owned by the upsert layout (upsb=K
+            # buckets, spec/marker files, trash/tmp) is legacy data.
+            if os.path.isdir(final):
+                owned = re.compile(r"^(upsb=\d+|_ups_spec\.json|_SUCCESS_TEMPEL|_inline_meta\.json|\..*)$")
+                foreign = [
+                    x for x in os.listdir(final) if not owned.match(x)
+                ]
+                if foreign:
+                    raise ValueError(
+                        f"upsert_fold target {name!r} already holds non-bucketed "
+                        f"data ({foreign[:3]} without an upsert spec) — "
+                        "delete() it or migrate the legacy state explicitly"
+                    )
             spec = {"key_cols": list(key_cols), "n_parts": n_parts}
             self._atomic_write_json(self._ups_spec_path(name), spec)
         elif spec != {"key_cols": list(key_cols), "n_parts": n_parts}:

@@ -663,6 +663,13 @@ def test_upsert_fold_refuses_legacy_layout(spark, tmp_path):
     with pytest.raises(ValueError, match="non-bucketed"):
         cat.upsert_fold(legacy, "st", ("k",), ("n",), {"m": 1}, n_parts=4)
 
+    # a PARTITIONED legacy publish leaves no root-level parquet at all
+    # (hive subdirs only) — the guard must still refuse it
+    part = spark.createDataFrame([("a", 1, "s1")], "k string, n long, snapshot_ts string")
+    cat.write(part, "st2", partition_by=("snapshot_ts",))
+    with pytest.raises(ValueError, match="non-bucketed"):
+        cat.upsert_fold(legacy, "st2", ("k",), ("n",), {"m": 1}, n_parts=4)
+
 
 def test_excise_spans(spark):
     """Excision: covered tokens drop (overlaps union), untouched text
@@ -1083,6 +1090,21 @@ def test_blocking_quality_hand_computed(spark):
     assert abs(row.pair_quality - 1 / 4) < 1e-12
     assert abs(row.reduction_ratio - 11 / 15) < 1e-12
 
+    # PARTIAL gold coverage: unlabeled nodes still cost candidates.
+    # Drop labels for nodes 3 and 4: cand/n_nodes/RR unchanged (4, 6,
+    # 11/15); matched still 1 ((1,2)); gold pairs now C(2,2)+C(2,2)=2.
+    partial = gold.filter(~gold.node.isin(3, 4))
+    row2 = blocking_quality(blocks, partial).collect()[0]
+    assert row2.n_nodes == 6 and row2.cand_pairs == 4.0
+    assert row2.matched_pairs == 1.0 and row2.gold_pairs == 2.0
+    assert abs(row2.reduction_ratio - 11 / 15) < 1e-12
+
+    # no gold at all: candidate-cost side still reports, PC/PQ fall
+    # back to the 0-denominator convention
+    row3 = blocking_quality(blocks, gold.filter("node < 0")).collect()[0]
+    assert row3.n_nodes == 6 and row3.cand_pairs == 4.0
+    assert row3.matched_pairs == 0 and row3.gold_pairs == 0
+
 
 def test_blocking_quality_grouped_edge_cases(spark):
     from tempel_spark.operators.metrics import blocking_quality
@@ -1353,9 +1375,12 @@ def test_fs_weights_hand_computed(spark):
     # 4 matches (3 agree on f), 6 non-matches (1 agrees on f):
     # m = 3.5/5 = 0.7, u = 1.5/7 ≈ 0.214286
     rows = [(True, True)] * 3 + [(True, False)] + [(False, True)] + [(False, False)] * 5
+    # NULL feature rows are missing-at-random: they count in the global
+    # label tallies but change neither numerator nor denominator of m/u
+    rows += [(True, None), (False, None)]
     df = spark.createDataFrame(rows, "is_match boolean, f boolean")
     w = fs_weights(df, ["f"]).collect()[0]
-    assert (w["n_match"], w["n_nonmatch"]) == (4, 6)
+    assert (w["n_match"], w["n_nonmatch"]) == (5, 7)
     assert abs(w["m"] - 0.7) < 1e-9
     assert abs(w["u"] - 0.214286) < 1e-6
     import math
