@@ -35,6 +35,7 @@ from tempel_spark.functions.hashing import hash_bucket, md5_minhash_value
 from tempel_spark.functions.text import normalize_mention
 
 __all__ = [
+    "meta_block_prune",
     "norm_key",
     "first_token_key",
     "sorted_token_key",
@@ -371,4 +372,76 @@ def sorted_neighborhood_pairs(
     return probe.join(right, [*groups, "_rb"]).select(
         *groups, "id_a", "id_b", "key_a", "key_b",
         *[x for c in payload for x in (f"{c}_a", f"{c}_b")],
+    )
+
+
+def meta_block_prune(
+    assignments: DataFrame,
+    node_col: str = "node",
+    block_col: str = "block",
+    max_block_size: int | None = None,
+    block_filter_ratio: float | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Meta-blocking over a MULTI-key blocking scheme (Papadakis et
+    al.): turn overlapping block assignments into a weighted candidate
+    graph and prune the low-evidence pairs, instead of comparing every
+    co-blocked pair.
+
+    Stages (each optional stage is the standard one):
+      1. block PURGING — drop blocks larger than ``max_block_size``
+         (oversized blocks are boilerplate keys: ~no signal, and
+         exactly the C(n,2) hot spots);
+      2. block FILTERING — keep each node's ``ceil(ratio · |blocks|)``
+         SMALLEST blocks (rarest keys carry the most evidence; ties
+         broken by block key so the choice is deterministic);
+      3. CBS edge weighting — weight(a,b) = number of surviving blocks
+         the pair co-occurs in (one distinct + hash agg, never a
+         per-block pair list kept around);
+      4. WEP pruning — ``kept`` = weight > mean edge weight (the
+         one-row global stat, broadcast back).
+
+    Returns every weighted candidate pair: id_a < id_b, weight,
+    mean_weight (constant column, 6 dp), kept. Callers filter on
+    ``kept``; keeping the pruned rows makes the operator auditable.
+
+    Scale posture: per-block pair fan-out is bounded by
+    C(max_block_size, 2) after purging; every stage is a hash agg or
+    an equi-join on block/pair keys; the only global is the one-row
+    mean. Skewed (hot) blocks are precisely what purging removes.
+    """
+    a = assignments.select(
+        F.col(node_col).alias("node"), F.col(block_col).alias("block")
+    ).distinct()
+    sizes = a.groupBy("block").agg(F.count(F.lit(1)).alias("_bs"))
+    if max_block_size is not None:
+        sizes = sizes.filter(F.col("_bs") <= max_block_size)
+    a = a.join(sizes, "block")
+    if block_filter_ratio is not None:
+        if not (0.0 < block_filter_ratio <= 1.0):
+            raise ValueError("block_filter_ratio must be in (0, 1]")
+        w = Window.partitionBy("node").orderBy(F.asc("_bs"), F.asc("block"))
+        a = (
+            a.withColumn("_r", F.row_number().over(w))
+            .withColumn("_nb", F.count(F.lit(1)).over(Window.partitionBy("node")))
+            .filter(
+                F.col("_r") <= F.ceil(F.col("_nb") * F.lit(float(block_filter_ratio)))
+            )
+            .drop("_r", "_nb")
+        )
+    left = a.select("block", F.col("node").alias("id_a"))
+    right = a.select("block", F.col("node").alias("id_b"))
+    pairs = (
+        left.join(right, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("block").alias("weight"))
+    )
+    stats = pairs.agg(F.round(F.avg("weight"), decimals).alias("mean_weight"))
+    return pairs.crossJoin(F.broadcast(stats)).select(
+        "id_a",
+        "id_b",
+        "weight",
+        "mean_weight",
+        (F.col("weight") > F.col("mean_weight")).alias("kept"),
     )

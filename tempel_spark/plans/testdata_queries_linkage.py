@@ -358,3 +358,79 @@ def q_robust_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_components(
         _supplier_edges(spark, sf_dir), min_support=1
     ).components.select(F.col("node"), F.col("component"))
+
+
+_META_SX = soundex_sql("split_part(text, ' ', 1)", "duckdb")
+
+
+@register(
+    "q_meta_blocking",
+    f"""
+    WITH fam AS (
+      SELECT doc_id AS node,
+             'p:' || array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS blk
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 's:' || {_META_SX} FROM documents
+      UNION ALL
+      SELECT doc_id, 'l:' || (n_chars // 50)::varchar FROM documents),
+    a0 AS (SELECT DISTINCT node, blk FROM fam),
+    sz AS (SELECT blk, count(*) AS bs FROM a0 GROUP BY blk HAVING count(*) <= 40),
+    a1 AS (SELECT a0.node, a0.blk, sz.bs FROM a0 JOIN sz USING (blk)),
+    af AS (
+      SELECT node, blk FROM (
+        SELECT node, blk,
+               row_number() OVER (PARTITION BY node ORDER BY bs ASC, blk ASC) AS r,
+               count(*) OVER (PARTITION BY node) AS nb
+        FROM a1)
+      WHERE r <= ceil(nb * 0.6)),
+    p AS (
+      SELECT x.node AS id_a, y.node AS id_b, count(DISTINCT x.blk) AS weight
+      FROM af x JOIN af y ON x.blk = y.blk AND x.node < y.node
+      GROUP BY x.node, y.node),
+    st AS (SELECT round(avg(weight), 6) AS mean_weight FROM p)
+    SELECT p.id_a, p.id_b, p.weight, st.mean_weight,
+           p.weight > st.mean_weight AS kept
+    FROM p CROSS JOIN st
+    """,
+)
+def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking over three overlapping block families on the
+    documents corpus — 2-token prefix, Soundex of the first token, and
+    a 50-char length bucket — purged at 40 rows/block, each node
+    keeping its ceil(0.6·|blocks|) smallest blocks, pairs CBS-weighted
+    and WEP-pruned at the global mean (~96% of candidates cut at
+    sf0.01). The whole prune decision is value-checked, not just the
+    survivor count."""
+    from tempel_spark.operators.blocking import meta_block_prune
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    fam = (
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.concat(
+                F.lit("p:"),
+                F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)),
+            ).alias("block"),
+        )
+        .unionAll(
+            d.select(
+                F.col("doc_id").alias("node"),
+                F.concat(
+                    F.lit("s:"), soundex_code("split_part(text, ' ', 1)")
+                ).alias("block"),
+            )
+        )
+        .unionAll(
+            d.select(
+                F.col("doc_id").alias("node"),
+                F.concat(
+                    F.lit("l:"),
+                    F.floor(F.col("n_chars") / 50).cast("long").cast("string"),
+                ).alias("block"),
+            )
+        )
+    )
+    return meta_block_prune(
+        fam, max_block_size=40, block_filter_ratio=0.6
+    )

@@ -1525,3 +1525,41 @@ def test_robust_components_prunes_bridge(spark):
     res2 = robust_components(df, min_support=5)
     got2 = {r["node"]: r["component"] for r in res2.components.collect()}
     assert got2 == {n: n for n in range(1, 8)}
+
+
+def test_meta_block_prune_hand_computed(spark):
+    from tempel_spark.operators.blocking import meta_block_prune
+
+    rows = (
+        [(n, "b1") for n in (1, 2, 3)]
+        + [(n, "b2") for n in (1, 2)]
+        + [(n, "b3") for n in (4, 5)]
+        + [(n, "big") for n in (1, 2, 3, 4, 5)]
+        + [(1, "b2")]  # duplicate assignment must not double-count CBS
+    )
+    df = spark.createDataFrame(rows, "node long, block string")
+    # purge 'big' (5 > 4): pairs b1:(1,2),(1,3),(2,3) b2:(1,2) b3:(4,5)
+    # weights (1,2)=2 others=1; mean=1.25 -> only (1,2) kept
+    out = {(r.id_a, r.id_b): r for r in
+           meta_block_prune(df, max_block_size=4).collect()}
+    assert {k: v.weight for k, v in out.items()} == {
+        (1, 2): 2, (1, 3): 1, (2, 3): 1, (4, 5): 1
+    }
+    assert all(abs(v.mean_weight - 1.25) < 1e-9 for v in out.values())
+    assert {k for k, v in out.items() if v.kept} == {(1, 2)}
+
+    # block filtering: ratio 0.5 keeps each node's single smallest
+    # block -> nodes 1,2 keep b2 (size 2 < b1's 3), node 3 keeps b1,
+    # so only pair (1,2) with weight 1 survives the pair stage
+    out2 = {(r.id_a, r.id_b): r for r in
+            meta_block_prune(
+                df.filter(df.block.isin("b1", "b2")),
+                max_block_size=4, block_filter_ratio=0.5,
+            ).collect()}
+    assert {k: v.weight for k, v in out2.items()} == {(1, 2): 1}
+    assert not out2[(1, 2)].kept  # weight > mean is strict
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        meta_block_prune(df, block_filter_ratio=1.5)
