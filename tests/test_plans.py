@@ -126,3 +126,43 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_mentions")
         spark.sql("DROP TABLE IF EXISTS b_entities")
+
+
+def test_fs_score_adds_no_exchange(spark):
+    """fs_score must fold the weight table into pure expressions: the
+    scored plan may not contain a single shuffle or join beyond what
+    the pairs frame itself had (here: none)."""
+    from tempel_spark.operators.linkage import fs_score, fs_weights
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True, True), (1, 3, True, False), (2, 3, False, False)],
+        "id_a long, id_b long, is_match boolean, f boolean",
+    )
+    wts = fs_weights(pairs, ["f"])
+    plan = _plan(fs_score(pairs, wts))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_edge_triangle_support_no_cartesian(spark):
+    from tempel_spark.operators.graph import edge_triangle_support
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    plan = _plan(edge_triangle_support(edges))
+    assert "CartesianProduct" not in plan
+
+
+def test_meta_block_prune_single_bounded_crossjoin(spark):
+    """The only nested-loop join allowed is the broadcast of the
+    one-row mean-weight stats frame; the pair stage itself must be
+    equi-joins + hash aggregates."""
+    from tempel_spark.operators.blocking import meta_block_prune
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (1, "b")], "node long, block string"
+    )
+    plan = _plan(meta_block_prune(df, max_block_size=10))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row stats
