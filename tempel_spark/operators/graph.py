@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["edge_triangle_support", "robust_components"]
+__all__ = ["edge_triangle_support", "robust_components", "cluster_cohesion"]
 
 
 def edge_triangle_support(
@@ -136,3 +136,68 @@ def robust_components(
         .distinct()
     )
     return connected_components(kept, nodes=nodes)
+
+
+def cluster_cohesion(
+    components: DataFrame,
+    scored_pairs: DataFrame,
+    node_col: str = "node",
+    component_col: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+    score_col: str = "score",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-cluster quality report for an ER clustering: how well does
+    the pairwise evidence actually hold each cluster together?
+
+    For every component: n_members, n_edges (scored pairs with BOTH
+    endpoints inside), avg_score / min_score over those edges
+    (rounded), and density = n_edges / C(n_members, 2). A big cluster
+    with low density and a weak min_score is the classic
+    over-merge signature (pair it with `edge_triangle_support` to find
+    the culprit edge); singletons report 0 edges / NULL scores /
+    density 1.0 by convention.
+
+    Scale posture: two broadcast-or-hash equi-joins to tag edge
+    endpoints, then per-component hash aggregations — no windows over
+    edge-scale data, no per-cluster collect; a head-entity mega-cluster
+    costs what its edge count costs.
+    """
+    comp = components.select(
+        F.col(node_col).alias("_n"), F.col(component_col).alias("_c")
+    )
+    e = (
+        scored_pairs.select(
+            F.col(src).alias("_a"), F.col(dst).alias("_b"),
+            F.col(score_col).alias("_s"),
+        )
+        .join(comp.select(F.col("_n").alias("_a"), F.col("_c").alias("_ca")), "_a")
+        .join(comp.select(F.col("_n").alias("_b"), F.col("_c").alias("_cb")), "_b")
+        .filter(F.col("_ca") == F.col("_cb"))
+    )
+    per_edge = e.groupBy(F.col("_ca").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.avg("_s"), decimals).alias("avg_score"),
+        F.round(F.min("_s"), decimals).alias("min_score"),
+    )
+    sizes = comp.groupBy(F.col("_c").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    possible = F.col("n_members") * (F.col("n_members") - 1) / 2
+    return (
+        sizes.join(per_edge, "component", "left")
+        .select(
+            "component",
+            "n_members",
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+            "avg_score",
+            "min_score",
+            F.when(
+                possible > 0,
+                F.round(F.coalesce(F.col("n_edges"), F.lit(0)) / possible, decimals),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("density"),
+        )
+    )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fs_weights", "fs_score", "fs_em"]
+__all__ = ["fs_weights", "fs_score", "fs_em", "fs_weights_leveled", "fs_score_leveled"]
 
 
 def fs_weights(
@@ -240,3 +240,109 @@ def fs_em(
         ),
         "lam", "n_pairs",
     )
+
+
+def fs_weights_leveled(
+    labeled: DataFrame,
+    features: dict[str, list],
+    label_col: str = "is_match",
+    smoothing: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Fellegi–Sunter estimation over MULTI-LEVEL comparison features
+    (the Splink comparison-level model): each feature column holds one
+    of its declared ordered levels (e.g. 'exact' / 'close' / 'far')
+    or NULL (comparison not possible — excluded from that feature's
+    numerators and denominators, like the boolean estimator).
+
+    For feature i, level l:
+        m_il = P(level l | match),  u_il = P(level l | non-match),
+        weight_il = log2(m_il / u_il),
+    smoothed additively with ``smoothing`` per level (denominator adds
+    |levels|·s, so the per-feature distribution still sums to ~1).
+
+    A value outside the declared level list raises — a silent
+    catch-all level would hide typos in the comparison definition.
+
+    Scale posture: same as `fs_weights` — ONE global aggregation
+    (2·Σ|levels| + 2 conditional sums), one-row result reshaped to the
+    (feature, level) table. Returns: feature, level, m, u, weight.
+    """
+    if not features:
+        raise ValueError("features must be non-empty")
+    for f, levels in features.items():
+        if not levels:
+            raise ValueError(f"feature {f!r} has no levels")
+        if len(set(levels)) != len(levels):
+            raise ValueError(f"feature {f!r} has duplicate levels")
+    lbl = F.col(label_col).cast("boolean")
+    aggs = []
+    checks = []
+    for f, levels in features.items():
+        fc = F.col(f)
+        aggs.append(F.sum(F.when(lbl & fc.isNotNull(), 1).otherwise(0)).alias(f"_nm_{f}"))
+        aggs.append(
+            F.sum(F.when((~lbl) & fc.isNotNull(), 1).otherwise(0)).alias(f"_nu_{f}")
+        )
+        for i, lv in enumerate(levels):
+            aggs.append(
+                F.sum(F.when(lbl & (fc == F.lit(lv)), 1).otherwise(0)).alias(f"_m_{f}_{i}")
+            )
+            aggs.append(
+                F.sum(F.when((~lbl) & (fc == F.lit(lv)), 1).otherwise(0)).alias(f"_u_{f}_{i}")
+            )
+        checks.append(
+            F.sum(
+                F.when(fc.isNotNull() & ~fc.isin(list(levels)), 1).otherwise(0)
+            ).alias(f"_bad_{f}")
+        )
+    row = labeled.agg(*aggs, *checks).collect()[0]
+    bad = {f: row[f"_bad_{f}"] for f in features if row[f"_bad_{f}"]}
+    if bad:
+        raise ValueError(
+            f"values outside the declared levels (rows per feature): {bad}"
+        )
+    s = float(smoothing)
+    out = []
+    for f, levels in features.items():
+        nm, nu = row[f"_nm_{f}"], row[f"_nu_{f}"]
+        for i, lv in enumerate(levels):
+            m = (row[f"_m_{f}_{i}"] + s) / (nm + len(levels) * s)
+            u = (row[f"_u_{f}_{i}"] + s) / (nu + len(levels) * s)
+            out.append(
+                (f, str(lv), round(m, decimals), round(u, decimals),
+                 round(__import__("math").log2(m / u), decimals))
+            )
+    return labeled.sparkSession.createDataFrame(
+        out, "feature string, level string, m double, u double, weight double"
+    )
+
+
+def fs_score_leveled(
+    pairs: DataFrame,
+    weights: DataFrame,
+    out_col: str = "fs_score",
+    decimals: int = 6,
+) -> DataFrame:
+    """Score pairs with a leveled weight table (`fs_weights_leveled`
+    output): per feature one CASE chain over its levels (collected —
+    bounded by Σ|levels|), NULL → 0. Same determinism contract as
+    `fs_score`: a sum of fixed rounded constants."""
+    rows = weights.select("feature", "level", "weight").collect()
+    if not rows:
+        raise ValueError("weights frame is empty")
+    by_feature: dict[str, list] = {}
+    for r in rows:
+        by_feature.setdefault(r["feature"], []).append((r["level"], r["weight"]))
+    missing = [f for f in by_feature if f not in pairs.columns]
+    if missing:
+        raise ValueError(f"pairs frame lacks feature columns {missing}")
+    score = F.lit(0.0)
+    for f, lvls in by_feature.items():
+        expr = F.when(F.col(f).isNull(), F.lit(0.0))
+        for lv, w in lvls:
+            expr = expr.when(F.col(f) == F.lit(lv), F.lit(float(w)))
+        # an undeclared value scores NULL -> surface it loudly instead
+        # of silently scoring 0 (estimation would have raised on it)
+        score = score + expr
+    return pairs.withColumn(out_col, F.round(score, decimals))

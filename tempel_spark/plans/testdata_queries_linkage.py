@@ -144,7 +144,8 @@ def q_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUPPLIER_GRAPH_CTE = """
     e AS (
-      SELECT a.s_suppkey AS ea, b.s_suppkey AS eb
+      SELECT a.s_suppkey AS ea, b.s_suppkey AS eb,
+             round(1 - abs(a.s_acctbal - b.s_acctbal) / 2000, 6) AS esc
       FROM supplier a JOIN supplier b
         ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
        AND abs(a.s_acctbal - b.s_acctbal) < 2000),
@@ -173,7 +174,10 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ka") < F.col("kb"))
             & (F.abs(F.col("ba") - F.col("bb")) < 2000)
         )
-        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
+        .select(
+            F.col("ka").alias("id_a"), F.col("kb").alias("id_b"),
+            F.round(1 - F.abs(F.col("ba") - F.col("bb")) / 2000, 6).alias("score"),
+        )
     )
 
 
@@ -434,3 +438,141 @@ def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_block_prune(
         fam, max_block_size=40, block_filter_ratio=0.6
     )
+
+
+@register(
+    "q_fs_leveled",
+    """
+    WITH b AS (SELECT p_partkey, p_name, p_brand, p_size,
+                      split_part(p_name, ' ', 1) AS w1
+               FROM part),
+    raw AS (SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+                   (a.p_name = c.p_name) AS is_match,
+                   levenshtein(a.p_name, c.p_name) AS lev,
+                   abs(a.p_size - c.p_size) AS sd
+            FROM b a JOIN b c ON a.w1 = c.w1 AND a.p_brand = c.p_brand
+                             AND a.p_partkey < c.p_partkey),
+    lp AS (SELECT *,
+                  CASE WHEN lev = 0 THEN 'exact' WHEN lev <= 5 THEN 'close'
+                       ELSE 'far' END AS name_sim,
+                  CASE WHEN sd = 0 THEN 'same' WHEN sd <= 2 THEN 'near'
+                       ELSE 'far' END AS size_diff
+           FROM raw),
+    agg AS (SELECT sum(is_match::int) AS nm, sum((NOT is_match)::int) AS nu,
+        sum((is_match AND name_sim = 'exact')::int) AS m_n0,
+        sum((is_match AND name_sim = 'close')::int) AS m_n1,
+        sum((is_match AND name_sim = 'far')::int) AS m_n2,
+        sum((NOT is_match AND name_sim = 'exact')::int) AS u_n0,
+        sum((NOT is_match AND name_sim = 'close')::int) AS u_n1,
+        sum((NOT is_match AND name_sim = 'far')::int) AS u_n2,
+        sum((is_match AND size_diff = 'same')::int) AS m_s0,
+        sum((is_match AND size_diff = 'near')::int) AS m_s1,
+        sum((is_match AND size_diff = 'far')::int) AS m_s2,
+        sum((NOT is_match AND size_diff = 'same')::int) AS u_s0,
+        sum((NOT is_match AND size_diff = 'near')::int) AS u_s1,
+        sum((NOT is_match AND size_diff = 'far')::int) AS u_s2
+        FROM lp),
+    wt AS (SELECT
+        round(log2(((m_n0 + 0.5) / (nm + 1.5)) / ((u_n0 + 0.5) / (nu + 1.5))), 6) AS w_n0,
+        round(log2(((m_n1 + 0.5) / (nm + 1.5)) / ((u_n1 + 0.5) / (nu + 1.5))), 6) AS w_n1,
+        round(log2(((m_n2 + 0.5) / (nm + 1.5)) / ((u_n2 + 0.5) / (nu + 1.5))), 6) AS w_n2,
+        round(log2(((m_s0 + 0.5) / (nm + 1.5)) / ((u_s0 + 0.5) / (nu + 1.5))), 6) AS w_s0,
+        round(log2(((m_s1 + 0.5) / (nm + 1.5)) / ((u_s1 + 0.5) / (nu + 1.5))), 6) AS w_s1,
+        round(log2(((m_s2 + 0.5) / (nm + 1.5)) / ((u_s2 + 0.5) / (nu + 1.5))), 6) AS w_s2
+        FROM agg)
+    SELECT fs_score, count(*) AS n_pairs FROM (
+      SELECT round(
+        (CASE name_sim WHEN 'exact' THEN w_n0 WHEN 'close' THEN w_n1 ELSE w_n2 END)
+        + (CASE size_diff WHEN 'same' THEN w_s0 WHEN 'near' THEN w_s1 ELSE w_s2 END),
+        6) AS fs_score
+      FROM lp CROSS JOIN wt)
+    GROUP BY fs_score
+    """,
+)
+def q_fs_leveled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splink-style MULTI-LEVEL comparison model end to end: leveled
+    features (name levenshtein exact/close/far, size diff
+    same/near/far) estimated with fs_weights_leveled (one global
+    aggregation) and scored with fs_score_leveled (per-feature CASE
+    chain over collected rounded weights), reported as the score
+    histogram — estimation AND scoring value-checked through one
+    9-level weight table."""
+    from tempel_spark.operators.linkage import fs_score_leveled, fs_weights_leveled
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size",
+        F.expr("split_part(p_name, ' ', 1)").alias("w1"),
+    )
+    left = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+                    F.col("p_size").alias("size_a"), "w1", "p_brand")
+    right = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+                     F.col("p_size").alias("size_b"), "w1", "p_brand")
+    lev = F.levenshtein("name_a", "name_b")
+    sd = F.abs(F.col("size_a") - F.col("size_b"))
+    pairs = (
+        left.join(right, ["w1", "p_brand"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (F.col("name_a") == F.col("name_b")).alias("is_match"),
+            F.when(lev == 0, "exact").when(lev <= 5, "close").otherwise("far")
+            .alias("name_sim"),
+            F.when(sd == 0, "same").when(sd <= 2, "near").otherwise("far")
+            .alias("size_diff"),
+        )
+    )
+    wts = fs_weights_leveled(
+        pairs,
+        {"name_sim": ["exact", "close", "far"], "size_diff": ["same", "near", "far"]},
+    )
+    return (
+        fs_score_leveled(pairs, wts)
+        .groupBy("fs_score")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q_cluster_cohesion",
+    f"""
+    WITH RECURSIVE
+    {_SUPPLIER_GRAPH_CTE},
+    ed AS (SELECT ea AS a, eb AS b FROM e UNION ALL SELECT eb, ea FROM e),
+    reach(n, m) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.n, e2.b FROM reach r JOIN ed e2 ON r.m = e2.a),
+    comp AS (SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT ea AS node FROM e UNION ALL SELECT eb FROM e)),
+    asg AS (SELECT nodes.node, coalesce(comp.component, nodes.node) AS component
+            FROM nodes LEFT JOIN comp USING (node)),
+    sz AS (SELECT component, count(*) AS n_members FROM asg GROUP BY component),
+    ie AS (SELECT ca.component, count(*) AS n_edges,
+                  round(avg(esc), 6) AS avg_score, round(min(esc), 6) AS min_score
+           FROM e JOIN asg ca ON e.ea = ca.node
+                  JOIN asg cb ON e.eb = cb.node AND ca.component = cb.component
+           GROUP BY ca.component)
+    SELECT sz.component, sz.n_members,
+           coalesce(ie.n_edges, 0)::bigint AS n_edges,
+           ie.avg_score, ie.min_score,
+           CASE WHEN n_members > 1
+                THEN round(coalesce(ie.n_edges, 0)
+                           / (n_members * (n_members - 1) / 2.0), 6)
+                ELSE 1.0 END AS density
+    FROM sz LEFT JOIN ie USING (component)
+    """,
+)
+def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion report over the supplier match graph:
+    components from the engine's large-star/small-star CC, then edge
+    density and avg/min edge affinity per cluster — the over-merge
+    triage view (low density + weak min_score = audit with
+    edge_triangle_support). Oracle = recursive-CTE closure + the same
+    aggregations."""
+    from tempel_spark.operators.clustering import connected_components
+    from tempel_spark.operators.graph import cluster_cohesion
+
+    edges = _supplier_edges(spark, sf_dir)
+    cc = connected_components(edges.select("id_a", "id_b"))
+    return cluster_cohesion(cc.components, edges)

@@ -1563,3 +1563,57 @@ def test_meta_block_prune_hand_computed(spark):
 
     with pytest.raises(ValueError):
         meta_block_prune(df, block_filter_ratio=1.5)
+
+
+def test_fs_leveled_hand_computed(spark):
+    import math
+
+    import pytest
+
+    from tempel_spark.operators.linkage import fs_score_leveled, fs_weights_leveled
+
+    # matches: hi, hi, lo | non: hi, lo, lo, NULL (NULL excluded)
+    rows = [(True, "hi"), (True, "hi"), (True, "lo"),
+            (False, "hi"), (False, "lo"), (False, "lo"), (False, None)]
+    df = spark.createDataFrame(rows, "is_match boolean, f string")
+    wts = {(r.feature, r.level): r for r in
+           fs_weights_leveled(df, {"f": ["hi", "lo"]}).collect()}
+    m_hi = (2 + 0.5) / (3 + 1.0)   # 2 levels -> denom nm + 2*0.5
+    u_hi = (1 + 0.5) / (3 + 1.0)   # NULL row not in denominator
+    assert abs(wts[("f", "hi")].m - round(m_hi, 6)) < 1e-9
+    assert abs(wts[("f", "hi")].u - round(u_hi, 6)) < 1e-9
+    assert abs(wts[("f", "hi")].weight - round(math.log2(m_hi / u_hi), 6)) < 1e-9
+
+    with pytest.raises(ValueError, match="outside the declared levels"):
+        fs_weights_leveled(df, {"f": ["hi"]})
+    with pytest.raises(ValueError, match="duplicate levels"):
+        fs_weights_leveled(df, {"f": ["hi", "hi"]})
+
+    w = fs_weights_leveled(df, {"f": ["hi", "lo"]})
+    scored = {r.pid: r.fs_score for r in fs_score_leveled(
+        spark.createDataFrame([(1, "hi"), (2, "lo"), (3, None), (4, "zz")],
+                              "pid long, f string"), w).collect()}
+    assert abs(scored[1] - wts[("f", "hi")].weight) < 1e-9
+    assert abs(scored[2] - wts[("f", "lo")].weight) < 1e-9
+    assert scored[3] == 0.0
+    assert scored[4] is None  # undeclared level surfaces as NULL score
+
+
+def test_cluster_cohesion_hand_graph(spark):
+    from tempel_spark.operators.graph import cluster_cohesion
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "node long, component long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.7), (3, 9, 0.95)],
+        "id_a long, id_b long, score double",
+    )  # (3,9) crosses components -> not an intra edge anywhere
+    out = {r.component: r for r in cluster_cohesion(comps, pairs).collect()}
+    tri = out[1]
+    assert (tri.n_members, tri.n_edges) == (3, 3)
+    assert abs(tri.avg_score - 0.8) < 1e-9 and abs(tri.min_score - 0.7) < 1e-9
+    assert tri.density == 1.0
+    single = out[9]
+    assert (single.n_members, single.n_edges) == (1, 0)
+    assert single.avg_score is None and single.density == 1.0
