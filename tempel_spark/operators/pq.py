@@ -1,0 +1,188 @@
+"""Product quantization (PQ) + asymmetric distance (ADC) top-k — the
+FAISS IVFPQ memory path (Jégou et al. 2011), built on the engine's own
+deterministic k-means (operators/kmeans.py; reference ANN role
+faiss_indexer.py:40,61-126).
+
+Why at 100 TB: a 1024-d float32 embedding is 4 KB/vector; PQ at
+m=64×8-bit codes is 64 B — a 64× cut in the bytes a similarity scan
+moves. Candidates are scored directly on their CODES against a
+per-query lookup table (ADC): no decompression, no full-precision
+read until the final refinement of the few survivors (the int8 path
+in operators/topk.py plays that role here).
+
+Scale shape:
+
+* training = m independent k-means over SUBVECTOR slices — each
+  reuses `kmeans`'s map-side-combined GEMM partials (driver traffic
+  O(k·d_sub) per iteration, never per-point); m is a small constant.
+* encoding = one `mapInPandas` pass; per Arrow batch, per subspace,
+  ONE GEMM against the k×d_sub codebook → argmin code. Output is
+  (id, array<int> codes): the only per-point state, m ints.
+* ADC top-k = one `mapInPandas` pass over the codes with the queries'
+  m×k distance tables broadcast in the closure; each batch emits its
+  LOCAL top-k per query (k·n_queries rows, never the batch), and one
+  tiny window rank merges the partials — the `matmul_topk_pandas`
+  shape.
+
+Determinism (repo rule: round-before-compare): codebooks come from
+the deterministic kmeans (seeded by smallest ids, 6-dp centroids);
+code assignment argmins over ROUNDED squared distances with ties to
+the smallest code; every LUT entry is rounded before the ADC sum, and
+final ranks tie-break by id. The DuckDB oracle replays training,
+encoding, and ADC from the same rules.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tempel_spark.operators.kmeans import kmeans
+
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "PQCodebooks"]
+
+
+@dataclass
+class PQCodebooks:
+    codebooks: list  # m × k × d_sub (plain lists — picklable/broadcastable)
+    m: int
+    k: int
+    d_sub: int
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = 2,
+    k: int = 8,
+    n_iter: int = 2,
+    round_dp: int = 6,
+) -> PQCodebooks:
+    """Train m per-subspace codebooks with the engine's deterministic
+    k-means. The embedding dimension must divide evenly by ``m``."""
+    dim = len(df.select(emb_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            id_col, F.slice(F.col(emb_col), s * d_sub + 1, d_sub).alias(emb_col)
+        )
+        books.append(
+            kmeans(sub, id_col, emb_col, k=k, n_iter=n_iter, round_dp=round_dp).centroids
+        )
+    return PQCodebooks(codebooks=books, m=m, k=k, d_sub=d_sub)
+
+
+def _sub_sq_dists(x: np.ndarray, cents: np.ndarray, round_dp: int) -> np.ndarray:
+    """Rounded squared L2 distances of every row of x (n×d_sub) to
+    every centroid (k×d_sub) — one GEMM."""
+    d = (
+        (x * x).sum(axis=1, keepdims=True)
+        - 2.0 * (x @ cents.T)
+        + (cents * cents).sum(axis=1)
+    )
+    return np.round(d, round_dp)
+
+
+def pq_encode(
+    df: DataFrame,
+    books: PQCodebooks,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id, codes array<int>): per subspace the nearest codebook entry
+    by rounded squared distance, ties to the smallest code id."""
+    cents = [np.asarray(b, dtype="float64") for b in books.codebooks]
+    m, d_sub = books.m, books.d_sub
+
+    def gen(batches):
+        for pdf in batches:
+            x = np.asarray([list(v) for v in pdf[emb_col]], dtype="float64")
+            if not len(x):
+                continue
+            codes = np.empty((len(x), m), dtype="int32")
+            for s in range(m):
+                d = _sub_sq_dists(x[:, s * d_sub : (s + 1) * d_sub], cents[s], round_dp)
+                # rounded argmin with ties to the smallest code: argmin
+                # scans left to right and keeps the FIRST minimum
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    out_schema = f"{id_col} long, codes array<int>"
+    return df.select(id_col, emb_col).mapInPandas(gen, out_schema)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: PQCodebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    emb_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query's m×k LUT of rounded
+    squared sub-distances is built once (queries are collected —
+    bounded by the query batch, the brute/IVF tiers' contract) and
+    broadcast; candidates are scored by m LUT lookups on their codes.
+    Returns query_id, vec_id, adc_dist, rank (ties by candidate id).
+    """
+    cents = [np.asarray(b, dtype="float64") for b in books.codebooks]
+    m, d_sub = books.m, books.d_sub
+    qrows = queries.select(query_id_col, emb_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    qids = [r[query_id_col] for r in qrows]
+    luts = []
+    for r in qrows:
+        qv = np.asarray(list(r[emb_col]), dtype="float64")
+        luts.append(
+            np.stack(
+                [
+                    _sub_sq_dists(
+                        qv[s * d_sub : (s + 1) * d_sub][None, :], cents[s], round_dp
+                    )[0]
+                    for s in range(m)
+                ]
+            )
+        )  # m × k
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.asarray(list(pdf["codes"]), dtype="int64")  # n × m
+            ids = pdf[id_col].to_numpy()
+            for qid, lut in zip(qids, luts):
+                # Σ_s lut[s, code_s] — one fancy-index + row sum
+                dist = np.round(lut[np.arange(m), c].sum(axis=1), round_dp)
+                take = min(k, len(ids))
+                # local top-k per batch: rank merge happens JVM-side
+                part = np.lexsort((ids, dist))[:take]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qid] * take,
+                        id_col: ids[part],
+                        "adc_dist": dist[part],
+                    }
+                )
+
+    partials = codes.mapInPandas(
+        gen, f"{query_id_col} long, {id_col} long, adc_dist double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1290,3 +1290,96 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pr_curve(pairs, score_col="score", label_col="is_match", decimals=2)
+
+
+# --- product quantization + ADC (round 5) ----------------------------
+
+def _pq_km_sql(p: str, i: int, prev: str) -> str:
+    """One Lloyd's round over subspace frame ``{p}`` (same rules as
+    `_kmeans_iter_sql`, CTE names prefixed so the m subspaces
+    coexist in one WITH list)."""
+    return f"""
+    {p}a{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT x.vec_id, x.v, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_distance(x.v, c.c), 6), c.cid) AS rn
+        FROM {p} x CROSS JOIN {prev} c) WHERE rn = 1),
+    {p}m{i} AS (
+      SELECT cid, idx, round(avg(val), 6) AS m FROM (
+        SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS val FROM {p}a{i})
+      GROUP BY cid, idx),
+    {p}c{i} AS (
+      SELECT q.cid, coalesce(n.c, q.c) AS c
+      FROM {prev} q LEFT JOIN (
+        SELECT cid, list(m ORDER BY idx) AS c FROM {p}m{i} GROUP BY cid) n USING (cid))"""
+
+
+def _pq_sqdist(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_subspace(p: str, lo: int, hi: int) -> str:
+    d = hi - lo + 1
+    return f"""
+    {p} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM pts),
+    {p}c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM {p} ORDER BY vec_id LIMIT 8),
+    {_pq_km_sql(p, 1, p + "c0")},
+    {_pq_km_sql(p, 2, p + "c1")},
+    {p}enc AS (
+      SELECT vec_id, cid AS code FROM (
+        SELECT x.vec_id, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round({_pq_sqdist("x.v", "c.c", d)}, 6), c.cid) AS rn
+        FROM {p} x CROSS JOIN {p}c2 c) WHERE rn = 1),
+    {p}lut AS (
+      SELECT q.query_id, c.cid,
+             round({_pq_sqdist("q.v", "c.c", d)}, 6) AS d
+      FROM (SELECT query_id, list_slice(v, {lo}, {hi}) AS v FROM q) q
+      CROSS JOIN {p}c2 c)"""
+
+
+@register(
+    "q_pq_adc",
+    f"""
+    WITH pts AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v FROM pts ORDER BY vec_id LIMIT 3),
+    {_pq_subspace("s0", 1, 32)},
+    {_pq_subspace("s1", 33, 64)},
+    codes AS (
+      SELECT s0enc.vec_id, s0enc.code AS k0, s1enc.code AS k1
+      FROM s0enc JOIN s1enc USING (vec_id)),
+    sc AS (
+      SELECT l0.query_id, codes.vec_id, round(l0.d + l1.d, 6) AS adc_dist
+      FROM codes
+      JOIN s0lut l0 ON l0.cid = codes.k0
+      JOIN s1lut l1 ON l1.cid = codes.k1 AND l1.query_id = l0.query_id)
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT sc.*, row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist, vec_id) AS rank FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end to end (the FAISS IVFPQ memory path):
+    train 2 per-subspace codebooks with the engine's deterministic
+    k-means (2 Lloyd rounds each, unrolled in the oracle), encode
+    every vector to 2 codes, and answer 3 queries by asymmetric
+    distance — per-query LUT of rounded squared sub-distances, scored
+    by table lookups on the codes alone. Training, encoding, AND the
+    ADC ranking are all value-checked."""
+    from tempel_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(e, m=2, k=8, n_iter=2)
+    codes = pq_encode(e, books)
+    queries = e.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(codes, queries, books, k=5)

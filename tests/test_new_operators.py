@@ -1617,3 +1617,58 @@ def test_cluster_cohesion_hand_graph(spark):
     single = out[9]
     assert (single.n_members, single.n_edges) == (1, 0)
     assert single.avg_score is None and single.density == 1.0
+
+
+def test_pq_encode_and_adc_match_numpy_mirror(spark):
+    import numpy as np
+    import pytest
+
+    from tempel_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    rng = np.random.RandomState(3)
+    # 4 planted centers in 8-d so the codebooks are meaningful
+    centers = rng.randn(4, 8) * 3
+    X = np.vstack([c + rng.randn(10, 8) * 0.2 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+
+    books = pq_train(df, m=2, k=4, n_iter=2)
+    assert len(books.codebooks) == 2 and books.d_sub == 4
+
+    cents = [np.asarray(b) for b in books.codebooks]
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+
+    def enc(v):
+        out = []
+        for s in range(2):
+            sub = v[s * 4:(s + 1) * 4]
+            d = np.round(((sub - cents[s]) ** 2).sum(axis=1), 6)
+            out.append(int(d.argmin()))
+        return out
+
+    for i in range(len(X)):
+        assert codes[i] == enc(X[i]), i
+
+    queries = df.filter("vec_id < 2").withColumnRenamed("vec_id", "query_id")
+    got = {}
+    for r in pq_adc_topk(pq_encode(df, books), queries, books, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.adc_dist))
+    for qid in (0, 1):
+        q = X[qid]
+        luts = [
+            np.round(((q[s * 4:(s + 1) * 4] - cents[s]) ** 2).sum(axis=1), 6)
+            for s in range(2)
+        ]
+        dist = np.round(
+            np.array([luts[0][enc(X[i])[0]] + luts[1][enc(X[i])[1]]
+                      for i in range(len(X))]), 6)
+        order = np.lexsort((np.arange(len(X)), dist))[:3]
+        want = [(r + 1, int(order[r]), float(dist[order[r]])) for r in range(3)]
+        assert sorted(got[qid]) == want, (qid, sorted(got[qid]), want)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=3)
+    with pytest.raises(ValueError, match="queries frame is empty"):
+        pq_adc_topk(pq_encode(df, books), queries.filter("query_id < 0"), books)
