@@ -20,6 +20,7 @@ __all__ = [
     "capped_round_robin_alloc",
     "weighted_reduce_to_quota",
     "shuffle_groups",
+    "shuffle_rank",
 ]
 
 
@@ -163,3 +164,24 @@ def shuffle_groups(df: DataFrame, group_col: str, seed: int = 42) -> DataFrame:
     return df.withColumn("_gorder", hash_bucket(1_000_000, group_col, seed=seed)).orderBy(
         "_gorder", group_col
     ).drop("_gorder")
+
+
+def shuffle_rank(df: DataFrame, group_col: str, seed: int = 42) -> DataFrame:
+    """The R2 permutation MATERIALIZED: one row per distinct group
+    with its position in the deterministic shuffle order. Where
+    `shuffle_groups` returns reordered ROWS (which an order-insensitive
+    comparison cannot observe), this returns the order as data — so
+    the shuffle itself is oracle-checkable. The key is the
+    engine-portable md5 recipe (functions/hashing.md5_uniform's bigint
+    core), ties broken by group value; groups-cardinality output only,
+    so the window is over groups, never rows."""
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"u{seed}:"), F.col(group_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    g = df.select(group_col).distinct()
+    w = Window.orderBy(key.asc(), F.col(group_col).asc())
+    return g.select(group_col, F.row_number().over(w).alias("shuffle_rank"))

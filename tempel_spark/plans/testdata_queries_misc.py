@@ -1248,3 +1248,49 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         ts_col="p_retailprice",
     )
+
+
+@register(
+    "q_shuffle_rank",
+    """
+    SELECT p_brand,
+           row_number() OVER (
+             ORDER BY ('0x' || substr(md5('u42:' || p_brand), 1, 15))::bigint,
+                      p_brand) AS shuffle_rank
+    FROM (SELECT DISTINCT p_brand FROM part)
+    """,
+)
+def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 deterministic group shuffle, MATERIALIZED: the permutation
+    of the 25 part brands under the engine-portable md5 sort key —
+    the shuffle order itself is value-checked (an order-insensitive
+    row hash cannot observe `shuffle_groups`' reordering; this
+    companion emits the order as data)."""
+    from tempel_spark.operators.balance import shuffle_rank
+
+    return shuffle_rank(t(spark, sf_dir, "part"), "p_brand")
+
+
+@register(
+    "q_strip_quotes",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             repeat(chr(39), 3) || substr(text, 1, 30)
+               || repeat(chr(39), 2) || ' it' || chr(39) || 's bold',
+             chr(39) || '+', '', 'g') AS cleaned
+    FROM documents
+    """,
+)
+def q_strip_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 quote stripping as its own oracle row (previously pinned
+    only inside the cleaner chain): wiki bold/italic quote runs are
+    removed wherever they appear — the fixture wraps real corpus text
+    in ''' / '' runs plus an embedded apostrophe."""
+    from tempel_spark.functions.text import strip_quotes
+
+    d = t(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit("'''"), F.substring("text", 1, 30), F.lit("'' it's bold")
+    )
+    return d.select("doc_id", strip_quotes(wrapped).alias("cleaned"))
