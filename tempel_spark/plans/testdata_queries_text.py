@@ -509,3 +509,48 @@ def q_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("o_custkey").alias("n_custs"))
     )
+
+
+@register(
+    "q_repetition_signals",
+    """
+    WITH d AS (SELECT doc_id, length(text) AS chars,
+                      list_filter(string_split(text, ' '), x -> x != '') AS w
+               FROM documents),
+    words AS (SELECT doc_id, len(w) AS n_words,
+           round(list_sum(list_transform(w, x -> length(x))) * 1.0
+                 / greatest(len(w), 1), 6) AS mean_word_len,
+           round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                 / greatest(len(w), 1), 6) AS alpha_word_frac
+        FROM d),
+    g2 AS (SELECT doc_id, chars,
+                  unnest(list_transform(range(1, len(w)),
+                    i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+           FROM d),
+    c2 AS (SELECT doc_id, chars, g, count(*) AS c FROM g2 GROUP BY doc_id, chars, g),
+    top2 AS (SELECT doc_id, round(c * length(g) * 1.0 / chars, 6) AS top_2gram_frac
+             FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY c DESC, g) AS rn FROM c2) WHERE rn = 1),
+    g5 AS (SELECT doc_id, chars,
+                  unnest(list_transform(range(1, len(w) - 3),
+                    i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+           FROM d),
+    c5 AS (SELECT doc_id, chars, g, count(*) AS c FROM g5 GROUP BY doc_id, chars, g),
+    dup5 AS (SELECT doc_id, round(sum(c * length(g)) * 1.0 / any_value(chars), 6)
+                    AS dup_5gram_frac
+             FROM c5 WHERE c >= 2 GROUP BY doc_id)
+    SELECT words.doc_id, n_words, mean_word_len, alpha_word_frac,
+           coalesce(top_2gram_frac, 0.0) AS top_2gram_frac,
+           coalesce(dup_5gram_frac, 0.0) AS dup_5gram_frac
+    FROM words LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition battery (Rae et al. 2021 A1.1) per document:
+    top-bigram character fraction (phrase-spam detector),
+    duplicate-5-gram character fraction (recycled-boilerplate
+    detector), mean word length and alpha-word fraction — explode +
+    hash agg per gram size, per-document windows only."""
+    from tempel_spark.operators.docquality import repetition_signals
+
+    return repetition_signals(t(spark, sf_dir, "documents"))

@@ -1672,3 +1672,32 @@ def test_pq_encode_and_adc_match_numpy_mirror(spark):
         pq_train(df, m=3)
     with pytest.raises(ValueError, match="queries frame is empty"):
         pq_adc_topk(pq_encode(df, books), queries.filter("query_id < 0"), books)
+
+
+def test_repetition_signals_hand_computed(spark):
+    from tempel_spark.operators.docquality import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),                 # bigram tie -> lexicographic
+            (2, "x y z w v x y z w v"),       # one duplicated 5-gram
+            (3, "1 2 3"),                     # no alpha words
+            (4, ""),                          # empty text
+        ],
+        "doc_id long, text string",
+    ).repartition(3)
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+
+    r1 = out[1]  # chars=9, 5 words; "a b" and "b a" both x2 -> "a b"
+    assert r1.n_words == 5 and r1.mean_word_len == 1.0
+    assert abs(r1.top_2gram_frac - round(2 * 3 / 9, 6)) < 1e-9
+    assert r1.dup_5gram_frac == 0.0
+
+    r2 = out[2]  # chars=19; "x y z w v" twice -> dup frac 18/19
+    assert abs(r2.dup_5gram_frac - round(2 * 9 / 19, 6)) < 1e-9
+    # count-2 bigrams: "x y","y z","z w","w v" -> smallest "w v"
+    assert abs(r2.top_2gram_frac - round(2 * 3 / 19, 6)) < 1e-9
+
+    assert out[3].alpha_word_frac == 0.0
+    r4 = out[4]
+    assert r4.n_words == 0 and r4.top_2gram_frac == 0.0 and r4.dup_5gram_frac == 0.0
