@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from tempel_spark.operators.kmeans import kmeans
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "PQCodebooks"]
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivfpq_topk", "PQCodebooks"]
 
 
 @dataclass
@@ -185,4 +185,131 @@ def pq_adc_topk(
     return (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 2,
+    k_pq: int = 8,
+    n_iter: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """The full FAISS IVFPQ shape: coarse k-means cells + PRODUCT
+    QUANTIZATION OF THE RESIDUALS + per-cell asymmetric distance.
+
+    Train: coarse centroids via the deterministic k-means; every
+    vector's residual (x − centroid[cell]) is PQ-encoded — residuals
+    concentrate around 0, so the same code budget quantizes far more
+    precisely than raw-vector PQ. Query: probe the ``nprobe`` nearest
+    cells (rounded coarse distance, ties to the smaller cell id) and
+    ADC-score only those cells' candidates, each against the LUT of
+    ITS cell's query residual. Candidates are touched as codes only.
+
+    Scale: training is n_iter+m bounded passes; the scan reads
+    nprobe/n_cells of the codes, one map pass, local top-k per batch,
+    window merge — the plan is identical at 10^12 codes with the cell
+    count scaled up.
+    """
+    from tempel_spark.operators.kmeans import kmeans
+
+    coarse = kmeans(df, id_col, emb_col, k=n_cells, n_iter=n_iter, round_dp=round_dp)
+    cents = np.asarray(coarse.centroids, dtype="float64")
+    cent_map = {i: cents[i] for i in range(len(cents))}
+
+    # residuals against the ASSIGNED cell's centroid (one map pass;
+    # centroids ride the closure)
+    assigned = df.select(id_col, emb_col).join(
+        coarse.assignments.select(id_col, "cluster_id"), id_col
+    )
+
+    def res_gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([list(v) for v in pdf[emb_col]], dtype="float64")
+            c = np.stack([cent_map[i] for i in pdf["cluster_id"]])
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": pdf["cluster_id"],
+                    emb_col: list(x - c),
+                }
+            )
+            yield out
+
+    residuals = assigned.mapInPandas(
+        res_gen, f"{id_col} long, cluster_id int, {emb_col} array<double>"
+    )
+    books = pq_train(residuals, id_col, emb_col, m=m, k=k_pq, n_iter=n_iter,
+                     round_dp=round_dp)
+    codes = pq_encode(residuals, books, id_col, emb_col, round_dp=round_dp).join(
+        coarse.assignments.select(id_col, "cluster_id"), id_col
+    )
+
+    sub_cents = [np.asarray(b, dtype="float64") for b in books.codebooks]
+    d_sub = books.d_sub
+    qrows = queries.select(query_id_col, emb_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    # probe selection + per-(query, probed cell) residual LUTs
+    luts: dict[tuple, np.ndarray] = {}
+    probed: list[tuple] = []
+    for r in qrows:
+        qv = np.asarray(list(r[emb_col]), dtype="float64")
+        cd = np.round(
+            np.sqrt(np.clip(((qv - cents) ** 2).sum(axis=1), 0.0, None)), round_dp
+        )
+        order = np.lexsort((np.arange(len(cents)), cd))[:nprobe]
+        for cell in order:
+            qres = qv - cents[cell]
+            lut = np.stack(
+                [
+                    _sub_sq_dists(
+                        qres[s * d_sub : (s + 1) * d_sub][None, :], sub_cents[s],
+                        round_dp,
+                    )[0]
+                    for s in range(m)
+                ]
+            )
+            luts[(r[query_id_col], int(cell))] = lut
+            probed.append((r[query_id_col], int(cell)))
+
+    probed_df = df.sparkSession.createDataFrame(
+        probed, f"{query_id_col} long, cluster_id int"
+    )
+    cand = codes.join(F.broadcast(probed_df), "cluster_id")
+
+    def adc_gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for (qid, cell), grp in pdf.groupby([query_id_col, "cluster_id"]):
+                lut = luts[(qid, int(cell))]
+                c = np.asarray(list(grp["codes"]), dtype="int64")
+                ids = grp[id_col].to_numpy()
+                dist = np.round(lut[np.arange(m), c].sum(axis=1), round_dp)
+                take = min(k, len(ids))
+                part = np.lexsort((ids, dist))[:take]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qid] * take,
+                        id_col: ids[part],
+                        "adc_dist": dist[part],
+                    }
+                )
+
+    partials = cand.mapInPandas(
+        adc_gen, f"{query_id_col} long, {id_col} long, adc_dist double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return partials.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

@@ -1322,10 +1322,12 @@ def _pq_sqdist(a: str, b: str, d: int) -> str:
     )
 
 
-def _pq_subspace(p: str, lo: int, hi: int) -> str:
+def _pq_subspace(p: str, lo: int, hi: int, src: str = "pts") -> str:
+    """Subspace slice + seeded 2-round Lloyd training + encode CTEs
+    over ``src`` (raw points for plain PQ, residuals for IVFPQ)."""
     d = hi - lo + 1
     return f"""
-    {p} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM pts),
+    {p} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM {src}),
     {p}c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
       FROM {p} ORDER BY vec_id LIMIT 8),
@@ -1336,12 +1338,19 @@ def _pq_subspace(p: str, lo: int, hi: int) -> str:
         SELECT x.vec_id, c.cid,
                row_number() OVER (PARTITION BY x.vec_id
                  ORDER BY round({_pq_sqdist("x.v", "c.c", d)}, 6), c.cid) AS rn
-        FROM {p} x CROSS JOIN {p}c2 c) WHERE rn = 1),
+        FROM {p} x CROSS JOIN {p}c2 c) WHERE rn = 1)"""
+
+
+def _pq_lut(p: str, lo: int, hi: int, qsrc: str, keys: str) -> str:
+    """Per-query (or per-(query, cell)) LUT of rounded squared
+    sub-distances against subspace ``p``'s trained centroids."""
+    d = hi - lo + 1
+    return f"""
     {p}lut AS (
-      SELECT q.query_id, c.cid,
-             round({_pq_sqdist("q.v", "c.c", d)}, 6) AS d
-      FROM (SELECT query_id, list_slice(v, {lo}, {hi}) AS v FROM q) q
-      CROSS JOIN {p}c2 c)"""
+      SELECT {keys}, c.cid,
+             round({_pq_sqdist("qq.v", "c.c", d)}, 6) AS d
+      FROM (SELECT *, list_slice(v, {lo}, {hi}) AS _sv FROM {qsrc}) qq0,
+           LATERAL (SELECT qq0._sv AS v) qq, {p}c2 c)"""
 
 
 @register(
@@ -1352,6 +1361,8 @@ def _pq_subspace(p: str, lo: int, hi: int) -> str:
     q AS (SELECT vec_id AS query_id, v FROM pts ORDER BY vec_id LIMIT 3),
     {_pq_subspace("s0", 1, 32)},
     {_pq_subspace("s1", 33, 64)},
+    {_pq_lut("s0", 1, 32, "q", "qq0.query_id")},
+    {_pq_lut("s1", 33, 64, "q", "qq0.query_id")},
     codes AS (
       SELECT s0enc.vec_id, s0enc.code AS k0, s1enc.code AS k1
       FROM s0enc JOIN s1enc USING (vec_id)),
@@ -1383,3 +1394,57 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_topk(codes, queries, books, k=5)
+
+
+@register(
+    "q_ivfpq",
+    f"""
+    {_KMEANS_CTES},
+    asn AS (SELECT vec_id, cid AS cell FROM (
+        SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY round(list_distance(p.v, c.c), 6), c.cid) AS rn
+        FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+    res AS (SELECT p.vec_id, list_transform(range(1, 65), i -> p.v[i] - c.c[i]) AS v
+            FROM pts p JOIN asn ON asn.vec_id = p.vec_id
+                       JOIN c2 c ON c.cid = asn.cell),
+    {_pq_subspace("r0", 1, 32, src="res")},
+    {_pq_subspace("r1", 33, 64, src="res")},
+    codes AS (SELECT r0enc.vec_id, r0enc.code AS k0, r1enc.code AS k1, asn.cell
+              FROM r0enc JOIN r1enc USING (vec_id) JOIN asn USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, v FROM pts ORDER BY vec_id LIMIT 3),
+    qc AS (SELECT q.query_id, c.cid AS cell, round(list_distance(q.v, c.c), 6) AS d
+           FROM q CROSS JOIN c2 c),
+    probe AS (SELECT query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY d, cell) AS rn FROM qc) WHERE rn <= 2),
+    qres AS (SELECT p.query_id, p.cell,
+                    list_transform(range(1, 65), i -> q.v[i] - c.c[i]) AS v
+             FROM probe p JOIN q USING (query_id)
+                          JOIN c2 c ON c.cid = p.cell),
+    {_pq_lut("r0", 1, 32, "qres", "qq0.query_id, qq0.cell")},
+    {_pq_lut("r1", 33, 64, "qres", "qq0.query_id, qq0.cell")},
+    sc AS (SELECT l0.query_id, codes.vec_id, round(l0.d + l1.d, 6) AS adc_dist
+           FROM codes
+           JOIN r0lut l0 ON l0.cell = codes.cell AND l0.cid = codes.k0
+           JOIN r1lut l1 ON l1.query_id = l0.query_id AND l1.cell = codes.cell
+                        AND l1.cid = codes.k1)
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT sc.*, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, vec_id) AS rank FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFPQ (coarse cells + RESIDUAL product quantization +
+    per-cell asymmetric distance): 8 trained cells, nprobe=2, 2
+    residual subspaces of 8 codes each — every stage (coarse
+    training, cell assignment, residual computation, per-subspace
+    residual training, encoding, probe selection, per-cell LUTs, ADC
+    ranking) replayed and value-checked by the oracle."""
+    from tempel_spark.operators.pq import ivfpq_topk
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(e, queries, n_cells=8, nprobe=2, m=2, k_pq=8, k=5)
