@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tempel_spark.functions.hashing import hash_bucket, hash_uniform
+from tempel_spark.functions.hashing import fingerprint64, hash_bucket, hash_uniform
 
 __all__ = [
     "deterministic_sample_fraction",
@@ -157,31 +157,33 @@ def weighted_reduce_to_quota(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= quota).drop("_rn")
 
 
+def _shuffle_key(group_col: str, seed: int):
+    """THE deterministic shuffle sort key — one definition shared by
+    `shuffle_groups` (row reordering) and `shuffle_rank` (materialized
+    permutation), so the two can never disagree. Engine-portable md5
+    recipe (functions/hashing.fingerprint64 with md5_uniform's
+    'u{seed}:' prefix convention): the oracle computes the identical
+    bigint."""
+    return fingerprint64(
+        F.concat(F.lit(f"u{seed}:"), F.col(group_col).cast("string"))
+    )
+
+
 def shuffle_groups(df: DataFrame, group_col: str, seed: int = 42) -> DataFrame:
     """R2: randomize group processing order deterministically —
     a hash sort key per group (reference random.shuffle of per-entity
-    frames, s03:301-304)."""
-    return df.withColumn("_gorder", hash_bucket(1_000_000, group_col, seed=seed)).orderBy(
-        "_gorder", group_col
-    ).drop("_gorder")
+    frames, s03:301-304). Ordering = `_shuffle_key` (ties by group),
+    exactly the permutation `shuffle_rank` materializes."""
+    return df.orderBy(_shuffle_key(group_col, seed).asc(), F.col(group_col).asc())
 
 
 def shuffle_rank(df: DataFrame, group_col: str, seed: int = 42) -> DataFrame:
     """The R2 permutation MATERIALIZED: one row per distinct group
-    with its position in the deterministic shuffle order. Where
-    `shuffle_groups` returns reordered ROWS (which an order-insensitive
-    comparison cannot observe), this returns the order as data — so
-    the shuffle itself is oracle-checkable. The key is the
-    engine-portable md5 recipe (functions/hashing.md5_uniform's bigint
-    core), ties broken by group value; groups-cardinality output only,
-    so the window is over groups, never rows."""
-    key = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"u{seed}:"), F.col(group_col).cast("string"))),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
+    with its position in `shuffle_groups`' order. Where the reordered
+    ROWS are invisible to an order-insensitive comparison, this
+    returns the order as data — so the shuffle itself is
+    oracle-checkable; groups-cardinality output only, so the window is
+    over groups, never rows."""
     g = df.select(group_col).distinct()
-    w = Window.orderBy(key.asc(), F.col(group_col).asc())
+    w = Window.orderBy(_shuffle_key(group_col, seed).asc(), F.col(group_col).asc())
     return g.select(group_col, F.row_number().over(w).alias("shuffle_rank"))

@@ -436,6 +436,10 @@ def meta_block_prune(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.countDistinct("block").alias("weight"))
+        # the pair stage is the operator's dominant cost and feeds BOTH
+        # the mean-weight stat and the output — pin it once instead of
+        # recomputing the whole self-join for each
+        .localCheckpoint(eager=True)
     )
     stats = pairs.agg(F.round(F.avg("weight"), decimals).alias("mean_weight"))
     return pairs.crossJoin(F.broadcast(stats)).select(

@@ -35,11 +35,14 @@ from pyspark.sql import functions as F
 __all__ = ["repetition_signals"]
 
 
-def _grams(words_col, n: int):
+def _grams(n: int):
+    """n-gram strings over the internal `_w` words column (the name is
+    part of this module's private contract — `repetition_signals`
+    always stages words under `_w` before calling this)."""
     if n == 1:
-        return words_col
+        return F.col("_w")
     return F.when(
-        F.size(words_col) >= n,
+        F.size("_w") >= n,
         F.expr(
             f"transform(sequence(1, size(_w) - {n - 1}), "
             f"i -> array_join(slice(_w, i, {n}), ' '))"
@@ -81,7 +84,7 @@ def repetition_signals(
 
     def gram_stats(n: int, top: bool) -> DataFrame:
         g = base.select(
-            id_col, "_chars", F.explode(_grams(F.col("_w"), n)).alias("_g")
+            id_col, "_chars", F.explode(_grams(n)).alias("_g")
         )
         counts = g.groupBy(id_col, "_chars", "_g").agg(
             F.count(F.lit(1)).alias("_c")

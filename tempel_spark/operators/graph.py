@@ -167,11 +167,22 @@ def cluster_cohesion(
     comp = components.select(
         F.col(node_col).alias("_n"), F.col(component_col).alias("_c")
     )
-    e = (
+    # canonicalize like edge_triangle_support: reversed duplicates of
+    # the same pair must count ONE edge (matcher output is often
+    # un-canonicalized; double-counting would corrupt density, the
+    # very signal this reports). Duplicate scores resolve to the max.
+    canon = (
         scored_pairs.select(
-            F.col(src).alias("_a"), F.col(dst).alias("_b"),
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
             F.col(score_col).alias("_s"),
         )
+        .filter(F.col("_a") != F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.max("_s").alias("_s"))
+    )
+    e = (
+        canon
         .join(comp.select(F.col("_n").alias("_a"), F.col("_c").alias("_ca")), "_a")
         .join(comp.select(F.col("_n").alias("_b"), F.col("_c").alias("_cb")), "_b")
         .filter(F.col("_ca") == F.col("_cb"))

@@ -28,6 +28,8 @@ scoring shuffles nothing and ships no Python.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -311,7 +313,7 @@ def fs_weights_leveled(
             u = (row[f"_u_{f}_{i}"] + s) / (nu + len(levels) * s)
             out.append(
                 (f, str(lv), round(m, decimals), round(u, decimals),
-                 round(__import__("math").log2(m / u), decimals))
+                 round(math.log2(m / u), decimals))
             )
     return labeled.sparkSession.createDataFrame(
         out, "feature string, level string, m double, u double, weight double"

@@ -218,7 +218,11 @@ def ivfpq_topk(
     window merge — the plan is identical at 10^12 codes with the cell
     count scaled up.
     """
-    from tempel_spark.operators.kmeans import kmeans
+    # validate + collect queries FIRST: an empty query frame must cost
+    # nothing, not a full coarse + residual training run
+    qrows = queries.select(query_id_col, emb_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
 
     coarse = kmeans(df, id_col, emb_col, k=n_cells, n_iter=n_iter, round_dp=round_dp)
     cents = np.asarray(coarse.centroids, dtype="float64")
@@ -256,9 +260,6 @@ def ivfpq_topk(
 
     sub_cents = [np.asarray(b, dtype="float64") for b in books.codebooks]
     d_sub = books.d_sub
-    qrows = queries.select(query_id_col, emb_col).collect()
-    if not qrows:
-        raise ValueError("queries frame is empty")
     # probe selection + per-(query, probed cell) residual LUTs
     luts: dict[tuple, np.ndarray] = {}
     probed: list[tuple] = []

@@ -883,27 +883,30 @@ def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- k-means + B-cubed (round 5) -------------------------------------
 
-def _kmeans_iter_sql(i: int, prev: str) -> str:
-    """One Lloyd's round as CTEs: assignment a{i} (rounded-distance
+def _kmeans_iter_sql(i: int, prev: str, p: str = "", src: str = "pts") -> str:
+    """One Lloyd's round as CTEs: assignment {p}a{i} (rounded-distance
     argmin, ties to the smallest cluster id), per-coordinate means
-    m{i} rounded to 6 dp (the operator rounds its centroids the same
-    way — round-before-compare), updated centroids c{i} (an empty
-    cluster keeps its previous centroid)."""
+    {p}m{i} rounded to 6 dp (the operator rounds its centroids the
+    same way — round-before-compare), updated centroids {p}c{i} (an
+    empty cluster keeps its previous centroid). ``p`` prefixes every
+    CTE name and ``src`` picks the point frame, so several training
+    chains (e.g. the PQ subspaces) coexist in one WITH list; the
+    defaults reproduce the original full-vector chain."""
     return f"""
-    a{i} AS (
+    {p}a{i} AS (
       SELECT vec_id, v, cid FROM (
-        SELECT p.vec_id, p.v, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id
-                 ORDER BY round(list_distance(p.v, c.c), 6), c.cid) AS rn
-        FROM pts p CROSS JOIN {prev} c) WHERE rn = 1),
-    m{i} AS (
+        SELECT x.vec_id, x.v, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_distance(x.v, c.c), 6), c.cid) AS rn
+        FROM {src} x CROSS JOIN {prev} c) WHERE rn = 1),
+    {p}m{i} AS (
       SELECT cid, idx, round(avg(val), 6) AS m FROM (
-        SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS val FROM a{i})
+        SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS val FROM {p}a{i})
       GROUP BY cid, idx),
-    c{i} AS (
-      SELECT p.cid, coalesce(n.c, p.c) AS c
-      FROM {prev} p LEFT JOIN (
-        SELECT cid, list(m ORDER BY idx) AS c FROM m{i} GROUP BY cid) n USING (cid))"""
+    {p}c{i} AS (
+      SELECT q.cid, coalesce(n.c, q.c) AS c
+      FROM {prev} q LEFT JOIN (
+        SELECT cid, list(m ORDER BY idx) AS c FROM {p}m{i} GROUP BY cid) n USING (cid))"""
 
 
 # shared CTE prefix: seed (8 smallest ids) + two unrolled Lloyd's
@@ -1294,27 +1297,6 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- product quantization + ADC (round 5) ----------------------------
 
-def _pq_km_sql(p: str, i: int, prev: str) -> str:
-    """One Lloyd's round over subspace frame ``{p}`` (same rules as
-    `_kmeans_iter_sql`, CTE names prefixed so the m subspaces
-    coexist in one WITH list)."""
-    return f"""
-    {p}a{i} AS (
-      SELECT vec_id, v, cid FROM (
-        SELECT x.vec_id, x.v, c.cid,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_distance(x.v, c.c), 6), c.cid) AS rn
-        FROM {p} x CROSS JOIN {prev} c) WHERE rn = 1),
-    {p}m{i} AS (
-      SELECT cid, idx, round(avg(val), 6) AS m FROM (
-        SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS val FROM {p}a{i})
-      GROUP BY cid, idx),
-    {p}c{i} AS (
-      SELECT q.cid, coalesce(n.c, q.c) AS c
-      FROM {prev} q LEFT JOIN (
-        SELECT cid, list(m ORDER BY idx) AS c FROM {p}m{i} GROUP BY cid) n USING (cid))"""
-
-
 def _pq_sqdist(a: str, b: str, d: int) -> str:
     return (
         f"list_sum(list_transform(range(1, {d + 1}), "
@@ -1331,8 +1313,8 @@ def _pq_subspace(p: str, lo: int, hi: int, src: str = "pts") -> str:
     {p}c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
       FROM {p} ORDER BY vec_id LIMIT 8),
-    {_pq_km_sql(p, 1, p + "c0")},
-    {_pq_km_sql(p, 2, p + "c1")},
+    {_kmeans_iter_sql(1, p + "c0", p=p, src=p)},
+    {_kmeans_iter_sql(2, p + "c1", p=p, src=p)},
     {p}enc AS (
       SELECT vec_id, cid AS code FROM (
         SELECT x.vec_id, c.cid,

@@ -1606,9 +1606,11 @@ def test_cluster_cohesion_hand_graph(spark):
         [(1, 1), (2, 1), (3, 1), (9, 9)], "node long, component long"
     )
     pairs = spark.createDataFrame(
-        [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.7), (3, 9, 0.95)],
+        [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.7), (3, 9, 0.95),
+         (2, 1, 0.4), (3, 2, 0.7), (2, 2, 1.0)],
         "id_a long, id_b long, score double",
-    )  # (3,9) crosses components -> not an intra edge anywhere
+    )  # (3,9) crosses components; reversed/dup/self edges must fold
+    # into the canonical set (dup scores resolve to max: (1,2)->0.9)
     out = {r.component: r for r in cluster_cohesion(comps, pairs).collect()}
     tri = out[1]
     assert (tri.n_members, tri.n_edges) == (3, 3)
