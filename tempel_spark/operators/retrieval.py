@@ -40,6 +40,7 @@ __all__ = [
     "bm25_scores",
     "bm25_topk",
     "tfidf_keywords",
+    "tfidf_cosine_pairs",
     "unigram_logprob",
     "bigram_logprob",
 ]
@@ -275,4 +276,74 @@ def bm25_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """TF-IDF cosine similarity for CANDIDATE PAIRS (Cohen 1998's
+    record-linkage string metric): each document is a tf·idf vector
+    (idf = ln((N+1)/(df+1)) + 1, the smoothed sklearn form, so a
+    term in every document still carries weight > 0) and a pair's
+    score is the cosine of its two vectors — rare shared tokens
+    dominate, boilerplate tokens contribute ~nothing. The classic
+    complement to edit-distance scorers for long, token-rich fields.
+
+    Scale posture: weights are one explode + hash agg; the pair score
+    is an inverted-index-style SHARED-TOKEN equi-join (pair × its own
+    tokens only — never all tokens of the corpus); norms are one agg
+    joined per side. Pairs sharing no token score 0 (kept, not
+    dropped — a no-overlap candidate is a decision downstream code
+    must see).
+
+    Output: id_a, id_b, tfidf_cosine (rounded).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("_tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("_n"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id", "tok",
+            (
+                F.col("_tf")
+                * (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1)
+            ).alias("_w"),
+        )
+    )
+    norms = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nm"))
+    wa = w.select(F.col("_id").alias("id_a"), "tok", F.col("_w").alias("_wa"))
+    wb = w.select(F.col("_id").alias("id_b"), "tok", F.col("_w").alias("_wb"))
+    dots = (
+        pairs.select("id_a", "id_b")
+        .join(wa, "id_a")
+        .join(wb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(dots, ["id_a", "id_b"], "left")
+        .join(norms.select(F.col("_id").alias("id_a"), F.col("_nm").alias("_na")), "id_a")
+        .join(norms.select(F.col("_id").alias("id_b"), F.col("_nm").alias("_nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.coalesce(F.col("_dot"), F.lit(0.0))
+                / (F.col("_na") * F.col("_nb")),
+                decimals,
+            ).alias("tfidf_cosine"),
+        )
     )

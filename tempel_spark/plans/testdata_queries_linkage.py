@@ -576,3 +576,51 @@ def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _supplier_edges(spark, sf_dir)
     cc = connected_components(edges.select("id_a", "id_b"))
     return cluster_cohesion(cc.components, edges)
+
+
+@register(
+    "q_tfidf_cosine",
+    """
+    WITH tk AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    w AS (SELECT tf.doc_id, tf.tok,
+                 tf.tf * (ln((n + 1.0) / (df + 1.0)) + 1) AS w
+          FROM tf JOIN dfr USING (tok) CROSS JOIN nd),
+    nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM (SELECT doc_id, substr(text, 1, 12) AS k FROM documents) a
+          JOIN (SELECT doc_id, substr(text, 1, 12) AS k FROM documents) b
+            ON a.k = b.k AND a.doc_id < b.doc_id),
+    dots AS (SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
+             FROM p JOIN w wa ON wa.doc_id = p.id_a
+                    JOIN w wb ON wb.doc_id = p.id_b AND wb.tok = wa.tok
+             GROUP BY p.id_a, p.id_b)
+    SELECT p.id_a, p.id_b,
+           round(coalesce(dots.dot, 0.0) / (na.nm * nb.nm), 6) AS tfidf_cosine
+    FROM p LEFT JOIN dots USING (id_a, id_b)
+           JOIN nm na ON na.doc_id = p.id_a
+           JOIN nm nb ON nb.doc_id = p.id_b
+    """,
+)
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine for blocked document pairs (Cohen's record-
+    linkage string metric): rare shared tokens dominate, boilerplate
+    contributes ~nothing. Weights one explode + hash agg, pair dot a
+    shared-token equi-join — the fixture blocks on a 12-char text
+    prefix."""
+    from tempel_spark.operators.retrieval import tfidf_cosine_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = d.select("doc_id", F.substring("text", 1, 12).alias("k"))
+    pairs = (
+        keyed.select(F.col("doc_id").alias("id_a"), "k")
+        .join(keyed.select(F.col("doc_id").alias("id_b"), "k"), "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return tfidf_cosine_pairs(d, pairs)

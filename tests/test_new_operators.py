@@ -1736,3 +1736,67 @@ def test_ivfpq_recall_on_clustered_corpus(spark):
 
     with pytest.raises(ValueError, match="queries frame is empty"):
         ivfpq_topk(df, queries.filter("query_id < 0"), n_cells=6)
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    import math
+
+    from tempel_spark.operators.retrieval import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    got = {(r.id_a, r.id_b): r.tfidf_cosine
+           for r in tfidf_cosine_pairs(docs, pairs).collect()}
+    ia = math.log(4 / 3) + 1          # df(a)=2, N=3
+    ib = ic = math.log(4 / 2) + 1     # df=1
+    n1 = math.hypot(ia, ib)
+    n2 = math.hypot(ia, ic)
+    assert abs(got[(1, 2)] - round(ia * ia / (n1 * n2), 6)) < 1e-9
+    assert got[(1, 3)] == 0.0 and got[(2, 3)] == 0.0  # no shared token
+
+
+def test_new_operators_partitioning_invariance(spark):
+    """The round-5 determinism contract, checked directly: fs_em's
+    trajectory, meta-blocking's prune decisions, and repetition
+    signals must be bit-identical at different partition counts."""
+    from tempel_spark.operators.blocking import meta_block_prune
+    from tempel_spark.operators.docquality import repetition_signals
+    from tempel_spark.operators.linkage import fs_em
+
+    import random
+
+    rng = random.Random(5)
+    rows = [(rng.random() < 0.4, rng.random() < 0.5, rng.random() < 0.3)
+            for _ in range(300)]
+    base = spark.createDataFrame(rows, "f1 boolean, f2 boolean, f3 boolean")
+    em = [
+        sorted(map(tuple, fs_em(base.repartition(p), ["f1", "f2", "f3"],
+                                n_iter=3).collect()))
+        for p in (2, 13)
+    ]
+    assert em[0] == em[1]
+
+    asg = spark.createDataFrame(
+        [(i, f"b{i % 7}") for i in range(80)] + [(i, f"c{i % 3}") for i in range(80)],
+        "node long, block string",
+    )
+    mb = [
+        sorted(map(tuple, meta_block_prune(asg.repartition(p),
+                                           max_block_size=40).collect()))
+        for p in (2, 11)
+    ]
+    assert mb[0] == mb[1]
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice("abcdef") for _ in range(30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rs = [
+        sorted(map(tuple, repetition_signals(docs.repartition(p)).collect()))
+        for p in (2, 9)
+    ]
+    assert rs[0] == rs[1]
