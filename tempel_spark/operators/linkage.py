@@ -33,7 +33,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fs_weights", "fs_score", "fs_em", "fs_weights_leveled", "fs_score_leveled"]
+__all__ = ["fs_weights", "fs_score", "fs_em", "fs_weights_leveled", "fs_score_leveled", "fs_posterior"]
 
 
 def fs_weights(
@@ -348,3 +348,29 @@ def fs_score_leveled(
         # of silently scoring 0 (estimation would have raised on it)
         score = score + expr
     return pairs.withColumn(out_col, F.round(score, decimals))
+
+
+def fs_posterior(
+    pairs: DataFrame,
+    match_prior: float,
+    score_col: str = "fs_score",
+    out_col: str = "match_probability",
+    decimals: int = 6,
+) -> DataFrame:
+    """Turn a Fellegi–Sunter log2-weight score into a calibrated match
+    probability (Splink's match_probability):
+
+        P(M | x) = 1 / (1 + 2^-(score + log2(λ / (1 − λ))))
+
+    — the posterior of the two-class model whose evidence is the
+    summed weights and whose prior odds are λ/(1−λ). ``match_prior``
+    is λ: pass a known rate, or `fs_em`'s estimated ``lam``.
+    Pure expression — codegen, no shuffle, no Python."""
+    if not (0.0 < match_prior < 1.0):
+        raise ValueError("match_prior must be in (0, 1)")
+    prior_weight = math.log2(match_prior / (1.0 - match_prior))
+    odds_exp = F.col(score_col) + F.lit(prior_weight)
+    return pairs.withColumn(
+        out_col,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -odds_exp)), decimals),
+    )

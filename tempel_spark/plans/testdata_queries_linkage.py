@@ -624,3 +624,42 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return tfidf_cosine_pairs(d, pairs)
+
+
+@register(
+    "q_fs_posterior",
+    f"""
+    WITH {_FS_PAIRS_CTE},
+    ws AS (SELECT
+      max(CASE WHEN feature = 'f_w2' THEN agree_weight END) AS aw1,
+      max(CASE WHEN feature = 'f_w2' THEN disagree_weight END) AS dw1,
+      max(CASE WHEN feature = 'f_type' THEN agree_weight END) AS aw2,
+      max(CASE WHEN feature = 'f_type' THEN disagree_weight END) AS dw2,
+      max(CASE WHEN feature = 'f_size' THEN agree_weight END) AS aw3,
+      max(CASE WHEN feature = 'f_size' THEN disagree_weight END) AS dw3
+      FROM wt),
+    sc AS (SELECT round((CASE WHEN f_w2 THEN aw1 ELSE dw1 END)
+                      + (CASE WHEN f_type THEN aw2 ELSE dw2 END)
+                      + (CASE WHEN f_size THEN aw3 ELSE dw3 END), 6) AS fs_score
+           FROM p CROSS JOIN ws)
+    SELECT round(1.0 / (1.0 + pow(2.0, -(fs_score + log2(0.125 / 0.875)))), 6)
+             AS match_probability,
+           count(*) AS n_pairs
+    FROM sc GROUP BY 1
+    """,
+)
+def q_fs_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibrated end of the FS family (Splink match_probability):
+    log2-weight scores plus prior odds through the logistic transform
+    — estimation, scoring AND calibration value-checked through one
+    histogram (λ = 0.125, the fixture's approximate match rate)."""
+    from tempel_spark.operators.linkage import fs_posterior, fs_score, fs_weights
+
+    pairs = _fs_pairs(spark, sf_dir)
+    wts = fs_weights(pairs, _FS_FEATURES)
+    scored = fs_score(pairs, wts)
+    return (
+        fs_posterior(scored, match_prior=0.125)
+        .groupBy("match_probability")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

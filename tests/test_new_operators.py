@@ -1800,3 +1800,24 @@ def test_new_operators_partitioning_invariance(spark):
         for p in (2, 9)
     ]
     assert rs[0] == rs[1]
+
+
+def test_fs_posterior_hand_computed(spark):
+    import math
+
+    import pytest
+
+    from tempel_spark.operators.linkage import fs_posterior
+
+    df = spark.createDataFrame([(0.0,), (3.0,), (-3.0,)], "fs_score double")
+    got = {r.fs_score: r.match_probability
+           for r in fs_posterior(df, match_prior=0.5).collect()}
+    assert got[0.0] == 0.5  # even prior + zero evidence
+    assert abs(got[3.0] - round(1 / (1 + 2 ** -3.0), 6)) < 1e-9
+    assert abs(got[-3.0] - round(1 / (1 + 2 ** 3.0), 6)) < 1e-9
+    # prior shifts the operating point: score 0 at lambda=0.2 -> 0.2
+    got2 = {r.fs_score: r.match_probability
+            for r in fs_posterior(df, match_prior=0.2).collect()}
+    assert abs(got2[0.0] - 0.2) < 1e-9
+    with pytest.raises(ValueError):
+        fs_posterior(df, match_prior=1.0)
