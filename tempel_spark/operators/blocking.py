@@ -35,6 +35,7 @@ from tempel_spark.functions.hashing import hash_bucket, md5_minhash_value
 from tempel_spark.functions.text import normalize_mention
 
 __all__ = [
+    "bind_once",
     "meta_block_prune",
     "norm_key",
     "first_token_key",
@@ -71,24 +72,49 @@ def sorted_token_key(col: Column | str) -> Column:
     return F.array_join(F.array_sort(F.array_distinct(F.split(normalize_mention(col), " "))), " ")
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` exactly once per row and feed the result to
+    ``fn`` as a bound lambda variable: wrap in a one-element array,
+    transform with ``fn``, take element 1.
+
+    Catalyst's CollapseProject inlines derived columns into every
+    consumer and (as of 4.x) higher-order-function lambdas re-evaluate
+    captured expression trees per array element, so an expensive
+    subexpression referenced N times costs N evaluations (measured:
+    q_minhash_signature carried 16 copies of the shingle+normalize
+    tree — 48 s for a 50k-row table). A lambda variable is evaluated
+    once and then only *read*, which makes this the expression-level
+    equivalent of materializing an intermediate column."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def char_shingles(col: Column | str, k: int = 3, normalize: bool = True) -> Column:
     """array<string> of k-char shingles, fully native:
     transform(sequence(1, len-k+1), i -> substr(text, i, k)).
 
-    Pass normalize=False when the input column is already normalized —
-    the normalization expression lands INSIDE the per-shingle lambda
-    and would otherwise re-run the regex chain once per character
-    position (caught by the plan-audit test: 352 regexp_replace nodes
-    in one scoring plan)."""
+    The (possibly normalized) input string is bound ONCE per row via
+    `bind_once` — without it the input expression lands INSIDE the
+    per-shingle lambda and re-runs once per character position
+    (caught by the plan-audit test: 352 regexp_replace nodes in one
+    scoring plan; re-measured r6: the normalize chain ran 58× per
+    row per seed in q_minhash_signature)."""
     c = normalize_mention(col) if normalize else (F.col(col) if isinstance(col, str) else col)
-    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+
+    def _shingle(x: Column) -> Column:
+        n = F.greatest(F.length(x) - (k - 1), F.lit(1))
+        return F.transform(F.sequence(F.lit(1), n), lambda i: x.substr(i, F.lit(k)))
+
+    return bind_once(c, _shingle)
 
 
 def minhash_signature(col: Column | str, n_hashes: int = 6, k: int = 3, normalize: bool = True) -> Column:
     """array<string> of length n_hashes: per seed, the lexicographic
     min md5 over the shingle set (classic MinHash with md5-derived
     permutations; J12's candidate-generation role in SURVEY.md).
+
+    The shingle array is bound ONCE per row (`bind_once`), so one
+    evaluation of the signature costs one shingle construction plus
+    n_hashes md5 passes over it — not n_hashes shingle rebuilds.
 
     NOTE: the per-seed lambda MUST be single-argument. A two-arg
     lambda (e.g. the `lambda s, i=i:` closure idiom) is interpreted by
@@ -102,11 +128,12 @@ def minhash_signature(col: Column | str, n_hashes: int = 6, k: int = 3, normaliz
     def _hasher(seed: int):
         return lambda s: md5_minhash_value(s, seed)
 
-    return F.array(
-        *[
-            F.array_min(F.transform(char_shingles(col, k, normalize=normalize), _hasher(i)))
-            for i in range(n_hashes)
-        ]
+    sh = char_shingles(col, k, normalize=normalize)
+    return bind_once(
+        sh,
+        lambda s: F.array(
+            *[F.array_min(F.transform(s, _hasher(i))) for i in range(n_hashes)]
+        ),
     )
 
 

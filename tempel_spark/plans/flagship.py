@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tempel_spark.functions.similarity import token_jaccard
 from tempel_spark.operators.clustering import connected_components
 
 __all__ = ["er_match_pairs", "er_components", "er_cluster_summary"]
@@ -21,21 +20,45 @@ JACCARD_THRESHOLD = 0.6
 
 
 def _docs_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with the blocking key and the DISTINCT token
+    set, tokenized ONCE here (guide §2.3 "project before the
+    exchange" / §8 "decide with small rows"): the within-block
+    self-join fans each doc out into ~28 candidate pairs on this
+    corpus, so tokenizing after the join would split+distinct every
+    text ~56× instead of 2×."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    key = F.array_join(F.slice(F.split("text", " "), 1, 2), " ")
-    return d.select("doc_id", "text", key.alias("block_key"))
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_distinct(toks).alias("toks"),
+        F.array_join(F.slice(toks, 1, 2), " ").alias("block_key"),
+    )
 
 
 def er_match_pairs(spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Blocking (first-2-words key) + within-block pair generation +
-    distinct-token-Jaccard scoring → match edges (id_a < id_b)."""
+    distinct-token-Jaccard scoring → match edges (id_a < id_b).
+
+    Jaccard on the pre-tokenized distinct sets: |A∩B| via
+    array_intersect, |A∪B| = |A|+|B|−|A∩B| (exact set identity — both
+    sides are distinct arrays), which skips materializing the union
+    array per pair. Identical doubles to token_jaccard on the raw
+    texts. The probe side is `spread` so the pair scoring isn't bound
+    to the input's row-group count."""
+    from tempel_spark.plans.testdata_queries import spread
+
     d = _docs_with_key(spark, sf_dir)
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"), "block_key")
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"), "block_key")
+    a = spread(d).select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"), "block_key"
+    )
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"), "block_key")
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = (inter / F.greatest(union, F.lit(1))).cast("double")
     return (
         a.join(b, "block_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_j", token_jaccard("text_a", "text_b"))
+        .withColumn("_j", jac)
         .filter(F.col("_j") >= threshold)  # threshold on the raw double in BOTH engines
         .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
         .dropDuplicates(["id_a", "id_b"])

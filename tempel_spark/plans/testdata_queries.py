@@ -34,6 +34,31 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Rebalance a compute-dense input whose natural parallelism is
+    below the session's default parallelism.
+
+    A small parquet table written as one row group scans as ONE task
+    no matter how many cores the session has, so per-row-expensive
+    derivations (shingling+md5, pairwise similarity after an
+    exploding self-join) run serially while the rest of the cluster
+    idles (guide §2.6: stragglers / idle capacity). The fix is a tiny
+    round-robin exchange — deterministic under retry because
+    sortBeforeRepartition stays on — whose cost is microscopic next
+    to the compute it unblocks.
+
+    Scale-adaptive by construction: at production scale a scan yields
+    ≥ cores partitions and this is a NO-OP (no exchange is added), so
+    it never re-shuffles a large table. The width comes from
+    spark.default.parallelism, which session.py derives from the
+    configured core count — never a hard-coded local constant.
+    """
+    n = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 # =====================================================================
 # §2.4 aggregations / §2.2 filters — A1-A4, P1, P5
 # =====================================================================

@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from tempel_spark.functions.hashing import fingerprint64
 from tempel_spark.functions.similarity import cosine_sim, dot_product, levenshtein_ratio, token_jaccard
 from tempel_spark.functions.text import normalize_mention, word_count
-from tempel_spark.operators.blocking import minhash_signature
-from tempel_spark.plans.testdata_queries import register, t
+from tempel_spark.operators.blocking import bind_once, minhash_signature
+from tempel_spark.plans.testdata_queries import register, spread, t
 
 # SQL fragment: normalize_mention equivalent (lower, _→space, collapse, trim)
 _NORM = "trim(regexp_replace(lower(translate({col}, '_', ' ')), ' +', ' ', 'g'))"
@@ -229,16 +229,24 @@ _DUCK_MINHASH = """
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (md5-permutation, char-3-shingles) — the
     engine-portable construction blocking.py uses; oracle-checked
-    bit-for-bit."""
-    d = t(spark, sf_dir, "documents")
+    bit-for-bit.
+
+    r6 shape: the signature is star-expanded through ONE
+    inline(array(struct)) Generate node, so the whole shingle+md5
+    tree is evaluated once per row — four element_at projections
+    carried four full copies of it before (guide §1.2 step 2: the
+    plan audit showed 16 array_min subtrees in one Project). The scan
+    is `spread` so the per-row md5 work uses every core instead of
+    one row-group-bound task."""
+    d = spread(t(spark, sf_dir, "documents"))
     sig = minhash_signature(F.substring("text", 1, 60), n_hashes=4, k=3)
-    return d.select(
-        "doc_id",
-        F.element_at(sig, 1).alias("mh0"),
-        F.element_at(sig, 2).alias("mh1"),
-        F.element_at(sig, 3).alias("mh2"),
-        F.element_at(sig, 4).alias("mh3"),
+    fields = bind_once(
+        sig,
+        lambda a: F.array(
+            F.struct(*[F.element_at(a, i + 1).alias(f"mh{i}") for i in range(4)])
+        ),
     )
+    return d.select("doc_id", F.inline(fields))
 
 
 @register(
@@ -255,9 +263,14 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_block_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band → bucket-join blocking: hot-block size census (the
     skew-detection input for salting)."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     sig = minhash_signature(F.substring("text", 1, 60), n_hashes=2, k=3)
-    key = F.concat_ws("|", F.element_at(sig, 1), F.element_at(sig, 2))
+    # bind the signature once: two element_at references would carry
+    # two copies of the whole shingle+md5 tree (same fix as
+    # q_minhash_signature)
+    key = bind_once(
+        sig, lambda a: F.concat_ws("|", F.element_at(a, 1), F.element_at(a, 2))
+    )
     return (
         d.groupBy(key.alias("band_key"))
         .agg(F.count(F.lit(1)).alias("block_size"))
