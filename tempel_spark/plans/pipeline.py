@@ -275,14 +275,17 @@ def run_pipeline(
     blocks = ck("blocks", lambda: build_block_keys(norms, lsh_hashes, lsh_bands), cache=True)
 
     def _pairs() -> DataFrame:
+        # id_a/id_b ARE the norms: the duplicate norm_a/norm_b columns
+        # are re-derived by a free projection AFTER the dedup exchange
+        # instead of doubling every pair row's string payload through
+        # the union+dropDuplicates shuffle (guide §2.3: shuffle fewer
+        # bytes — the dedup carried four copies of each norm string).
         sym = candidate_pairs(
             blocks, ["snapshot_ts", "block_key"], "norm", ["n_mentions"], cap=pair_cap
-        ).select(
-            "snapshot_ts", "id_a", "id_b",
-            F.col("id_a").alias("norm_a"), F.col("id_b").alias("norm_b"),
-            "n_mentions_a", "n_mentions_b",
+        ).select("snapshot_ts", "id_a", "id_b", "n_mentions_a", "n_mentions_b")
+        bip = bipartite_first_token_pairs(norms, norms, pair_cap=pair_cap).select(
+            "snapshot_ts", "id_a", "id_b", "n_mentions_a", "n_mentions_b"
         )
-        bip = bipartite_first_token_pairs(norms, norms, pair_cap=pair_cap)
         # sorted-neighborhood pass (window=3): each norm pairs with its
         # 2 lexicographic successors per snapshot. Catches the recall
         # hole every other family shares: a typo in the FIRST token
@@ -299,14 +302,15 @@ def run_pipeline(
         sn = sorted_neighborhood_pairs(
             norms, sort_key="norm", id_col="norm", window=SN_WINDOW,
             group_cols=["snapshot_ts"], payload_cols=["n_mentions"],
-        ).select(
-            "snapshot_ts", "id_a", "id_b",
-            F.col("id_a").alias("norm_a"), F.col("id_b").alias("norm_b"),
-            "n_mentions_a", "n_mentions_b",
-        )
+        ).select("snapshot_ts", "id_a", "id_b", "n_mentions_a", "n_mentions_b")
         return (
             sym.unionByName(bip).unionByName(sn)
             .dropDuplicates(["snapshot_ts", "id_a", "id_b"])
+            .select(
+                "snapshot_ts", "id_a", "id_b",
+                F.col("id_a").alias("norm_a"), F.col("id_b").alias("norm_b"),
+                "n_mentions_a", "n_mentions_b",
+            )
         )
 
     pairs = ck("pairs", _pairs, cache=True)

@@ -376,13 +376,23 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the candidate side stays partitioned; only the query side
     broadcasts."""
     e = t(spark, sf_dir, "embeddings")
+    # norms computed ONCE PER ROW before the crossJoin (guide §2.3
+    # "project before the exchange"): cosine_sim per pair re-folds
+    # sqrt(v·v) for both sides on every candidate×query combination —
+    # 2/3 of the per-pair array work for the identical doubles (same
+    # sequential fold over the same values).
     q = e.filter(F.col("vec_id") <= 7).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_product("embedding", "embedding")).alias("_qn"),
     )
-    c = e.filter(F.col("vec_id") > 7).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    c = spread(e.filter(F.col("vec_id") > 7)).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(dot_product("embedding", "embedding")).alias("_cn"),
     )
-    sim = cosine_sim("q_emb", "c_emb")
+    denom = F.col("_qn") * F.col("_cn")
+    sim = (dot_product("q_emb", "c_emb") / F.when(denom > 0, denom).otherwise(F.lit(1.0))).cast("double")
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("cand_id"))
     return (
         c.crossJoin(F.broadcast(q))
