@@ -47,10 +47,12 @@ def build_alias_table(
         F.col(snapshot_col).alias("snapshot_ts"),
     ).filter(F.col("mention_norm") != "")
 
-    # A1: nr_links per (mention, entity, snapshot)  [the only groupBy shuffle]
+    # A1: nr_links per (mention, entity, snapshot)  [the only groupBy
+    # shuffle]. Pinned: `g` feeds the window chain AND the snapshot
+    # totals — without the pin the scan+normalize+agg runs twice.
     g = base.groupBy("snapshot_ts", "mention_norm", "entity_id").agg(
         F.count(F.lit(1)).alias("nr_links")
-    )
+    ).localCheckpoint(eager=False)
 
     w_mention = Window.partitionBy("snapshot_ts", "mention_norm")
     w_entity = Window.partitionBy("snapshot_ts", "entity_id")

@@ -198,6 +198,7 @@ def candidate_pairs(
     payload_cols: list[str],
     cap: int = 200,
     group_cols: list[str] | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Within-block self-join → unordered candidate pairs
     (id_a < id_b), deduped across blocks. The equi-join on the block
@@ -208,10 +209,23 @@ def candidate_pairs(
     same id pair occurring in two snapshots survives in both. Defaults
     to every key col except the last (conventionally the block key).
 
+    dedup=False skips the cross-block dropDuplicates: callers that
+    union several pair families and dedup the union anyway (the ER
+    pipeline) would otherwise pay two stacked pair-scale shuffles for
+    one logical dedup (measured: only ~15% of sym-family pairs are
+    cross-block duplicates, so the inner exchange moved 5.3M rows to
+    save 0.8M downstream).
+
+    The capped frame is pinned (lazy localCheckpoint) so the window
+    rank isn't computed once per join side — Catalyst does not reuse
+    the exchange across the differently-aliased subtrees. It is
+    vocabulary×family-scale, the size class the pipeline already
+    persists at the blocks stage.
+
     Output: key_cols…, id_a, id_b, <payload>_a, <payload>_b.
     """
     groups = key_cols[:-1] if group_cols is None else group_cols
-    capped = cap_block_size(blocked, key_cols, id_col, cap)
+    capped = cap_block_size(blocked, key_cols, id_col, cap).localCheckpoint(eager=False)
     a = capped.select(
         *key_cols,
         F.col(id_col).alias("id_a"),
@@ -223,6 +237,8 @@ def candidate_pairs(
         *[F.col(c).alias(f"{c}_b") for c in payload_cols],
     )
     pairs = a.join(b, key_cols, "inner").filter(F.col("id_a") < F.col("id_b"))
+    if not dedup:
+        return pairs
     # a pair found by several blocks (e.g. two LSH bands) appears once per group
     return pairs.dropDuplicates([*groups, "id_a", "id_b"])
 

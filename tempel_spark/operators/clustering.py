@@ -212,6 +212,10 @@ def _cc_loop(edges, id_a, id_b, nodes, max_iter, checkpoint_every, durable_check
     # (round-3 VERDICT item 5: batch the signature aggregates)
     e = e.localCheckpoint(eager=False)
     prev_sig = _signature(e)
+    if prev_sig[0] == 0:
+        # no edges: every node is a singleton; the star loop would
+        # only burn 2 jobs proving an empty frame equals itself
+        return _star_labels(e, nodes, iterations=0, converged=True, history=[])
     # Adaptive contraction (the signature above already counted the
     # edges, so sizing is free):
     #

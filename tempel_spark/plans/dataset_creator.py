@@ -115,6 +115,8 @@ def entities_in_all_snapshots(stats: DataFrame, n_snapshots: int | None = None) 
     aggregate instead of the reference's 10 chained inner joins
     (s03:219-224). Returns the filtered stats (inner join against the
     qualifying entity ids, broadcast — the survivor list is small)."""
+    # stats is read up to three times (snapshot census, keep agg, join)
+    stats = stats.localCheckpoint(eager=False)
     n = n_snapshots or stats.select("snapshot_ts").distinct().count()
     keep = (
         stats.groupBy("entity_id")
@@ -150,9 +152,19 @@ def assign_subsets_leakage_safe(
     Input needs (entity_id, snapshot_ts, surface, nr_links).
     Output: input + (cluster, subset).
     """
+    # Pin the input and each multi-consumed stage (lazy localCheckpoint,
+    # alias-stats scale): this function references `stats` twice (surf
+    # + the keyed join-back), `surf` three times and `clusters` twice,
+    # and the embedded CC runs eager signature jobs — without the pins
+    # every reference re-derives the whole upstream chain (measured:
+    # q_dataset_balance's plan carried 128 copies of the orders scan;
+    # guide §3.3 "materialise an intermediate to truncate the plan").
+    stats = stats.localCheckpoint(eager=False)
     # distinct surfaces per entity ACROSS cuts — the reference's
     # cluster dict persists across the entity's rows over all cuts
-    surf = stats.groupBy("entity_id", "surface").agg(F.sum("nr_links").alias("_links"))
+    surf = stats.groupBy("entity_id", "surface").agg(
+        F.sum("nr_links").alias("_links")
+    ).localCheckpoint(eager=False)
 
     a = surf.select(F.col("entity_id"), F.col("surface").alias("s_a"))
     b = surf.select(F.col("entity_id"), F.col("surface").alias("s_b"))
@@ -174,7 +186,7 @@ def assign_subsets_leakage_safe(
         F.split_part("node", F.lit(_SEP), F.lit(1)).alias("entity_id"),
         F.split_part("node", F.lit(_SEP), F.lit(2)).alias("surface"),
         F.split_part("component", F.lit(_SEP), F.lit(2)).alias("cluster"),
-    )
+    ).localCheckpoint(eager=False)
     # cluster weight = total links; big clusters assigned first
     # (rank 1 → subsets[0] = train, the reference's prefer_train)
     joined = surf.join(clusters, ["entity_id", "surface"])
@@ -204,6 +216,9 @@ def keep_fully_covered(
     """Keep entities whose MIN-across-cuts distinct-subset count equals
     |subsets| (s03:327-345): every cut must contribute to every
     subset, or per-cut evaluation tables go empty."""
+    # consumed twice (cover agg + join-back) — pin so the upstream
+    # assignment chain is derived once
+    assigned = assigned.localCheckpoint(eager=False)
     cover = (
         assigned.groupBy("entity_id", "snapshot_ts")
         .agg(F.countDistinct("subset").alias("_ns"))
@@ -258,6 +273,7 @@ def balanced_quotas(
         n0.withColumn("_n_min_entity", F.min("_n").over(w_es))
         .withColumn("_diff", F.col("_n") - F.col("_n_min_entity"))
         .withColumn("_total", F.sum("_n").over(w_sc))
+        .localCheckpoint(eager=False)  # feeds targets AND the target join
     )
     targets = (
         d.groupBy("subset", "snapshot_ts")
@@ -267,7 +283,7 @@ def balanced_quotas(
     )
     d = d.join(F.broadcast(targets), "subset").withColumn(
         "_reduce", F.col("_total") - F.col("_target")
-    )
+    ).localCheckpoint(eager=False)  # consumed by units AND the final join
 
     # unit multiset: one row per removable unit, deterministic race
     units = d.filter(F.col("_diff") > 0).select(
@@ -350,7 +366,12 @@ def equalize_entity_counts(
     sample (the reference uses unseeded df.sample; R1 discipline).
     portable_hash=True ranks by md5 instead of xxhash64 so the pick is
     reproducible in ANSI-SQL oracles (q_dataset_new_balance)."""
-    per_cut = assigned.select("snapshot_ts", "entity_id").distinct()
+    # `assigned` is read for per_cut AND the final join; per_cut feeds
+    # an eager min() collect plus the keep rank — pin both
+    assigned = assigned.localCheckpoint(eager=False)
+    per_cut = assigned.select("snapshot_ts", "entity_id").distinct().localCheckpoint(
+        eager=False
+    )
     counts = per_cut.groupBy("snapshot_ts").agg(F.count(F.lit(1)).alias("_n"))
     min_n = counts.agg(F.min("_n").alias("m")).collect()[0]["m"]
     rank_u = (
@@ -401,7 +422,7 @@ def balanced_quotas_positional(
     )
     d = n0.withColumn("_rank", F.row_number().over(w_rank)).withColumn(
         "_total", F.sum("_n").over(Window.partitionBy("subset", "snapshot_ts"))
-    )
+    ).localCheckpoint(eager=False)  # feeds tot, ref_rank AND the join chain
     # the subset's min-total cut and its per-rank values
     tot = d.select("subset", "snapshot_ts", "_total").distinct()
     w_min = Window.partitionBy("subset").orderBy(
@@ -436,6 +457,7 @@ def balanced_quotas_positional(
             ).cast("long"),
         )
         .withColumn("_reduce", F.col("_total") - F.col("_target"))
+        .localCheckpoint(eager=False)  # consumed by units AND the final join
     )
     units = d.filter(F.col("_diff") > 0).select(
         "entity_id", "snapshot_ts", "subset", "_reduce",

@@ -280,8 +280,11 @@ def run_pipeline(
         # instead of doubling every pair row's string payload through
         # the union+dropDuplicates shuffle (guide §2.3: shuffle fewer
         # bytes — the dedup carried four copies of each norm string).
+        # dedup=False: the cross-family dropDuplicates below subsumes
+        # the cross-block one — one pair-scale exchange instead of two
         sym = candidate_pairs(
-            blocks, ["snapshot_ts", "block_key"], "norm", ["n_mentions"], cap=pair_cap
+            blocks, ["snapshot_ts", "block_key"], "norm", ["n_mentions"],
+            cap=pair_cap, dedup=False,
         ).select("snapshot_ts", "id_a", "id_b", "n_mentions_a", "n_mentions_b")
         bip = bipartite_first_token_pairs(norms, norms, pair_cap=pair_cap).select(
             "snapshot_ts", "id_a", "id_b", "n_mentions_a", "n_mentions_b"
@@ -346,9 +349,20 @@ def run_pipeline(
     scored = ck("scored", _scored, cache=True)
 
     def _components() -> DataFrame:
-        edges = scored.filter(F.col("is_match")).select("snapshot_ts", "id_a", "id_b").unionByName(
+        # One pass over the pair-scale scored table: every edge source
+        # (matches, partials, the anchored-exclusion scan inside
+        # abbreviation_edges) lives in the is_match ∪ is_partial
+        # subset (must_link ⊆ is_match), which is vocabulary-scale —
+        # pin it so the three consumers don't each re-scan 5M+ cached
+        # pair rows (guide §2.3: decide on small rows).
+        relevant = scored.select(
+            "snapshot_ts", "id_a", "id_b", "norm_a", "norm_b", "score",
+            "must_link", "is_partial", "is_match",
+            "n_mentions_a", "n_mentions_b",
+        ).filter(F.col("is_match") | F.col("is_partial")).localCheckpoint(eager=False)
+        edges = relevant.filter(F.col("is_match")).select("snapshot_ts", "id_a", "id_b").unionByName(
             abbreviation_edges(
-                scored, text_a="norm_a", text_b="norm_b", prenormalized=True,
+                relevant, text_a="norm_a", text_b="norm_b", prenormalized=True,
                 freq_a="n_mentions_a", freq_b="n_mentions_b",
             )
         )
