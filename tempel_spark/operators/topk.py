@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tempel_spark.functions.similarity import cosine_sim, dot_product
+from tempel_spark.functions.similarity import dot_product
 
 __all__ = [
     "quantize_embeddings",
@@ -52,7 +52,19 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: candidates stay partitioned (the 10^12 side),
     queries broadcast. Output: (query_id, cand_id, score, rank)."""
-    sim = cosine_sim(q_emb, c_emb) if metric == "cosine" else dot_product(q_emb, c_emb)
+    if metric == "cosine":
+        # norms hoisted to one evaluation PER ROW on each side before
+        # the crossJoin — cosine_sim per pair re-folds sqrt(v·v) for
+        # both sides on every (query, candidate) combination; identical
+        # doubles (same fold over the same values)
+        queries = queries.withColumn("_qn", F.sqrt(dot_product(q_emb, q_emb)))
+        candidates = candidates.withColumn("_cn", F.sqrt(dot_product(c_emb, c_emb)))
+        denom = F.col("_qn") * F.col("_cn")
+        sim = (
+            dot_product(q_emb, c_emb) / F.when(denom > 0, denom).otherwise(F.lit(1.0))
+        ).cast("double")
+    else:
+        sim = dot_product(q_emb, c_emb)
     w = Window.partitionBy(query_id).orderBy(F.col("_score").desc(), F.col(cand_id))
     return (
         candidates.crossJoin(F.broadcast(queries))
@@ -63,27 +75,45 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_proj(emb, b: int):
+def _hyperplane_proj(emb, b: int, dim: int | None = None):
     """Projection of `emb` onto pseudo-random hyperplane `b`:
     Σ x_i · w_i with w_i = +1 if md5("hp{b}:{i}") first hex nibble
     >= '8' else -1 — engine-portable (the SQL oracles rebuild the
-    identical weights) and retry-stable, unlike a trained codebook."""
+    identical weights) and retry-stable, unlike a trained codebook.
 
-    def _weight(i):
-        # single-arg lambda via factory — `lambda i, b=b:` would become
-        # the (element, index) transform form and bind b to the index
-        # Column (see blocking.minhash_signature)
-        return F.when(
-            F.substring(F.md5(F.concat(F.lit(f"hp{b}:"), i.cast("string"))), 1, 1) >= "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
+    With ``dim`` known, the ±1 weight vector is a PYTHON-computed
+    literal array (hashlib md5 — bit-identical recipe): the expression
+    form re-derives n_bits × dim md5s PER ROW because Catalyst cannot
+    constant-fold through the per-element lambda (r6; same class of
+    waste as the MinHash normalize-in-lambda bug)."""
+    if dim is not None:
+        import hashlib
+
+        weights = F.array(
+            *[
+                F.lit(
+                    1.0
+                    if hashlib.md5(f"hp{b}:{i}".encode()).hexdigest()[0] >= "8"
+                    else -1.0
+                )
+                for i in range(1, dim + 1)
+            ]
+        )
+    else:
+
+        def _weight(i):
+            # single-arg lambda via factory — `lambda i, b=b:` would become
+            # the (element, index) transform form and bind b to the index
+            # Column (see blocking.minhash_signature)
+            return F.when(
+                F.substring(F.md5(F.concat(F.lit(f"hp{b}:"), i.cast("string"))), 1, 1) >= "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+
+        weights = F.transform(F.sequence(F.lit(1), F.size(emb)), _weight)
 
     return F.aggregate(
-        F.zip_with(
-            emb,
-            F.transform(F.sequence(F.lit(1), F.size(emb)), _weight),
-            lambda x, w: x.cast("double") * w,
-        ),
+        F.zip_with(emb, weights, lambda x, w: x.cast("double") * w),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -91,11 +121,12 @@ def _hyperplane_proj(emb, b: int):
 
 def hyperplane_bucket(emb_col, n_bits: int = 4, dim: int | None = None, seed: int = 7):
     """Deterministic coarse quantizer: sign of Σ w_i·x_i per bit (see
-    ``_hyperplane_proj``)."""
+    ``_hyperplane_proj``). Pass ``dim`` when the embedding width is
+    known so the weights become literals instead of per-row md5s."""
     emb = F.col(emb_col) if isinstance(emb_col, str) else emb_col
     bits = []
     for b in range(n_bits):
-        proj = _hyperplane_proj(emb, b)
+        proj = _hyperplane_proj(emb, b, dim=dim)
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**b))
     out = bits[0]
     for x in bits[1:]:
@@ -103,13 +134,13 @@ def hyperplane_bucket(emb_col, n_bits: int = 4, dim: int | None = None, seed: in
     return out.cast("int")
 
 
-def hyperplane_projections(emb_col, n_bits: int = 4):
+def hyperplane_projections(emb_col, n_bits: int = 4, dim: int | None = None):
     """array<double> of the n_bits raw hyperplane projections — the
     per-query margins adaptive multi-probe ranks its perturbations by
     (only the QUERY side ever evaluates this; candidates need just the
     sign bits)."""
     emb = F.col(emb_col) if isinstance(emb_col, str) else emb_col
-    return F.array(*[_hyperplane_proj(emb, b) for b in range(n_bits)])
+    return F.array(*[_hyperplane_proj(emb, b, dim=dim) for b in range(n_bits)])
 
 
 def _adaptive_probe_masks(projs, n_bits: int, nprobe: int):
@@ -154,6 +185,7 @@ def ivf_topk(
     c_emb: str = "c_emb",
     nprobe: int = 1,
     probe: str = "hamming1",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: search the query's hyperplane bucket, plus —
     with ``nprobe`` > 1 — neighbor buckets (the FAISS multi-probe
@@ -177,9 +209,17 @@ def ivf_topk(
     projections.  Each candidate lives in exactly one bucket and the
     probe list is distinct, so no (query, candidate) pair dedup is
     needed before ranking."""
-    base = hyperplane_bucket(q_emb, n_bits)
+    if dim is None:
+        # one tiny job on the (small) query side turns every per-row
+        # hyperplane weight md5 into a plan-time literal
+        row = queries.select(q_emb).first()
+        if row is not None and row[0] is not None:
+            dim = len(row[0])
+    base = hyperplane_bucket(q_emb, n_bits, dim=dim)
     if nprobe > 1 and probe == "adaptive":
-        masks = _adaptive_probe_masks(hyperplane_projections(q_emb, n_bits), n_bits, nprobe)
+        masks = _adaptive_probe_masks(
+            hyperplane_projections(q_emb, n_bits, dim=dim), n_bits, nprobe
+        )
         probes = F.concat(F.array(base), F.transform(masks, lambda m: base.bitwiseXOR(m)))
         qb = queries.withColumn("_bucket", F.explode(probes))
     elif nprobe > 1:
@@ -189,8 +229,15 @@ def ivf_topk(
         qb = queries.withColumn("_bucket", F.explode(probes))
     else:
         qb = queries.withColumn("_bucket", base)
-    cb = candidates.withColumn("_bucket", hyperplane_bucket(c_emb, n_bits))
-    sim = cosine_sim(q_emb, c_emb)
+    cb = candidates.withColumn("_bucket", hyperplane_bucket(c_emb, n_bits, dim=dim))
+    # norms once per row on each side (see brute_force_topk) — the
+    # bucket join then scores with one fold per pair, same doubles
+    qb = qb.withColumn("_qn", F.sqrt(dot_product(q_emb, q_emb)))
+    cb = cb.withColumn("_cn", F.sqrt(dot_product(c_emb, c_emb)))
+    denom = F.col("_qn") * F.col("_cn")
+    sim = (
+        dot_product(q_emb, c_emb) / F.when(denom > 0, denom).otherwise(F.lit(1.0))
+    ).cast("double")
     w = Window.partitionBy(query_id).orderBy(F.col("_score").desc(), F.col(cand_id))
     return (
         qb.join(cb, "_bucket")
