@@ -104,14 +104,21 @@ def ngram_jaccard_dedup(
     cap: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs: LSH-blocked candidates verified by exact
-    char-k-gram Jaccard ≥ threshold. Output (id_a, id_b, jaccard)."""
-    blocked = lsh_band_blocks(df.select(id_col, text_col), text_col, n_hashes, bands, k)
+    char-k-gram Jaccard ≥ threshold. Output (id_a, id_b, jaccard).
+
+    The distinct shingle set is computed ONCE PER DOC before blocking
+    and carried through the pair join as the payload — shingling the
+    raw text per candidate PAIR re-ran the normalize+substring chain
+    ~pair_fanout× per doc (r6; same fix as the flagship ER scorer)."""
+    shingled = df.select(
+        id_col, text_col,
+        F.array_distinct(char_shingles(text_col, k)).alias("_sh"),
+    )
+    blocked = lsh_band_blocks(shingled, text_col, n_hashes, bands, k)
     blocked = blocked.withColumn("_bk", F.concat_ws(":", F.col("band_id"), F.col("block_key")))
-    pairs = candidate_pairs(blocked, ["_bk"], id_col, [text_col], cap=cap, group_cols=[])
-    ga = F.array_distinct(char_shingles(f"{text_col}_a", k))
-    gb = F.array_distinct(char_shingles(f"{text_col}_b", k))
+    pairs = candidate_pairs(blocked, ["_bk"], id_col, ["_sh"], cap=cap, group_cols=[])
     return (
-        pairs.withColumn("jaccard", _jaccard_arrays(ga, gb))
+        pairs.withColumn("jaccard", _jaccard_arrays(F.col("_sh_a"), F.col("_sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -240,17 +247,23 @@ def simhash_dedup(
     # agg form: 8× cheaper than the expression fold on document-length
     # text and bit-identical (see simhash64_agg)
     with_hash = simhash64_agg(df, id_col, text_col, out_col="_sh")
-    bands = []
-    for b in range(n_bands):
-        key = F.shiftright("_sh", b * bits_per_band).bitwiseAND(F.lit((1 << bits_per_band) - 1))
-        bands.append(
-            with_hash.select(
-                id_col, "_sh", F.concat_ws(":", F.lit(b), key.cast("string")).alias("_band")
+    # one explode over the band-key array instead of an n_bands-way
+    # union — the union re-derived the whole explode+61-agg simhash
+    # chain once per band (r6; the band keys are cheap bit ops on the
+    # already-computed hash)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                F.shiftright("_sh", b * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                .cast("string"),
             )
-        )
-    blocked = bands[0]
-    for x in bands[1:]:
-        blocked = blocked.unionByName(x)
+            for b in range(n_bands)
+        ]
+    )
+    blocked = with_hash.select(id_col, "_sh", F.explode(band_keys).alias("_band"))
     pairs = candidate_pairs(blocked, ["_band"], id_col, ["_sh"], cap=band_cap, group_cols=[])
     ham = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
     return (
@@ -269,10 +282,26 @@ def embedding_dedup(
 ) -> DataFrame:
     """Embedding-cosine near-dup within hyperplane buckets (exactly
     the blocking the ivf_topk quantizer uses — near-identical vectors
-    land in the same bucket with high probability)."""
-    b = df.select(id_col, emb_col).withColumn("_bucket", hyperplane_bucket(emb_col, n_bits))
-    pairs = candidate_pairs(b, ["_bucket"], id_col, [emb_col], cap=10_000, group_cols=[])
-    sim = cosine_sim(f"{emb_col}_a", f"{emb_col}_b")
+    land in the same bucket with high probability).
+
+    r6: bucket weights become literals (dim probed with one tiny
+    job), and the norms ride the pair payload instead of being
+    re-folded per pair — identical doubles, see brute_force_topk."""
+    from tempel_spark.functions.similarity import dot_product
+
+    row = df.select(emb_col).first()
+    dim = len(row[0]) if row is not None and row[0] is not None else None
+    b = df.select(id_col, emb_col).withColumn(
+        "_bucket", hyperplane_bucket(emb_col, n_bits, dim=dim)
+    ).withColumn("_nrm", F.sqrt(dot_product(emb_col, emb_col)))
+    pairs = candidate_pairs(
+        b, ["_bucket"], id_col, [emb_col, "_nrm"], cap=10_000, group_cols=[]
+    )
+    denom = F.col("_nrm_a") * F.col("_nrm_b")
+    sim = (
+        dot_product(f"{emb_col}_a", f"{emb_col}_b")
+        / F.when(denom > 0, denom).otherwise(F.lit(1.0))
+    ).cast("double")
     return (
         pairs.withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)

@@ -56,12 +56,17 @@ def edge_triangle_support(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # pinned: e feeds the degree census, the orientation join, the
+        # closing-edge semi-join AND the final support join — without
+        # the pin each consumer re-derives the distinct edge set
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)  # joined once per endpoint side
     )
     g = (
         e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
@@ -74,7 +79,7 @@ def edge_triangle_support(
     o = g.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)  # both wedge sides read it
     o1 = o.select("u", F.col("v").alias("v1"))
     o2 = o.select("u", F.col("v").alias("v2"))
     # wedges around each apex u; v1 < v2 by id makes the pair canonical

@@ -99,7 +99,9 @@ def pairwise_f1(
     # group cols ride along
     shared = [c for c in groups if c in gold.columns and c in pred.columns]
     extra = [c for c in groups if c in gold.columns and c not in pred.columns]
-    j = pred.join(gold.select(node_col, gold_col, *shared, *extra), [node_col, *shared])
+    j = pred.join(
+        gold.select(node_col, gold_col, *shared, *extra), [node_col, *shared]
+    ).localCheckpoint(eager=False)  # feeds the tp/pred/gold censuses
 
     cont = j.groupBy(*groups, pred_col, gold_col).agg(F.count(F.lit(1)).alias("n"))
     tp = cont.groupBy(*groups).agg(F.sum(_n_choose_2(F.col("n"))).alias("tp"))
@@ -233,7 +235,9 @@ def blocking_quality(
     j = blocks.join(
         gold.select(node_col, gold_col, *shared, *extra), [node_col, *shared], "left"
     )
-    cont = j.groupBy(*groups, block_col, gold_col).agg(F.count(F.lit(1)).alias("i"))
+    cont = j.groupBy(*groups, block_col, gold_col).agg(
+        F.count(F.lit(1)).alias("i")
+    ).localCheckpoint(eager=False)  # feeds labeled AND the candidate census
     labeled = cont.filter(F.col(gold_col).isNotNull())
     matched = labeled.groupBy(*groups).agg(
         F.sum(_n_choose_2(F.col("i"))).alias("matched_pairs")
@@ -590,7 +594,9 @@ def key_skew_profile(
     ≤top_n-row result against the broadcast one-row stats frame.
     """
     key_exprs = [F.col(k) for k in key_cols]
-    counts = df.groupBy(*key_exprs).agg(F.count(F.lit(1)).alias("n_rows"))
+    counts = df.groupBy(*key_exprs).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).localCheckpoint(eager=False)  # feeds the stats row AND the top-N
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n_rows").alias("n_total"),

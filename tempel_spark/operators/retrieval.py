@@ -87,8 +87,12 @@ def bm25_scores(
     query-side saturation).
     Output: (query_id, doc_id, score) — score rounded to `round_dp`.
     """
-    tf = doc_term_freqs(docs, doc_id, text_col, with_dl=False)
-    dl = tf.groupBy(doc_id).agg(F.sum("tf").alias("dl"))
+    # pins (lazy localCheckpoint): tf feeds dl AND the pruned probe,
+    # dl feeds the stats AND the candidate join, qterms feeds the
+    # prune AND the probe — each re-reference otherwise re-tokenizes
+    # the corpus (guide §3.3)
+    tf = doc_term_freqs(docs, doc_id, text_col, with_dl=False).localCheckpoint(eager=False)
+    dl = tf.groupBy(doc_id).agg(F.sum("tf").alias("dl")).localCheckpoint(eager=False)
     # corpus stats are the ONLY whole-corpus reduction (two scalars —
     # a production deployment precomputes/caches them with the index)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
@@ -99,10 +103,13 @@ def bm25_scores(
         .filter(F.col("term") != "")
         .groupBy(query_id, "term")
         .agg(F.count(F.lit(1)).alias("qtf"))
+        .localCheckpoint(eager=False)
     )
     # prune FIRST: everything downstream — df counting included — runs
     # on the posting lists of query terms only, never the vocabulary
-    pruned = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    pruned = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
     df_ = pruned.groupBy("term").agg(F.countDistinct(doc_id).alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -140,8 +147,8 @@ def unigram_logprob(
     no tokens produce no row (no probability mass to average).
 
     Output: (id_col, n_tokens, logprob) — logprob rounded."""
-    postings = doc_term_freqs(docs, id_col, text_col)
-    counts = postings.groupBy("term").agg(F.sum("tf").alias("c"))
+    postings = doc_term_freqs(docs, id_col, text_col).localCheckpoint(eager=False)
+    counts = postings.groupBy("term").agg(F.sum("tf").alias("c")).localCheckpoint(eager=False)
     total = counts.agg(F.sum("c").alias("total"))
     scored = (
         postings.join(counts, "term")
@@ -194,8 +201,10 @@ def bigram_logprob(
             )
         ).alias("_bg"),
     ).select(id_col, F.col("_bg.v").alias("v"), F.col("_bg.w").alias("w"))
-    btf = bg.groupBy(id_col, "v", "w").agg(F.count(F.lit(1)).alias("tf"))
-    cvw = btf.groupBy("v", "w").agg(F.sum("tf").alias("c"))
+    btf = bg.groupBy(id_col, "v", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    cvw = btf.groupBy("v", "w").agg(F.sum("tf").alias("c")).localCheckpoint(eager=False)
     cv = cvw.groupBy("v").agg(F.sum("c").alias("cv"))
     vocab = (
         docs.select(F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")).alias("t"))
@@ -239,7 +248,7 @@ def tfidf_keywords(
     on the term so the cut is deterministic.
 
     Output: (id_col, term, tfidf, rank)."""
-    postings = doc_term_freqs(docs, id_col, text_col)
+    postings = doc_term_freqs(docs, id_col, text_col).localCheckpoint(eager=False)
     df_ = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     stats = postings.select(id_col, "dl").distinct().agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -309,7 +318,9 @@ def tfidf_cosine_pairs(
             F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
         ).alias("tok"),
     )
-    tf = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("_tf"))
+    tf = toks.groupBy("_id", "tok").agg(
+        F.count(F.lit(1)).alias("_tf")
+    ).localCheckpoint(eager=False)
     n_docs = docs.select(F.countDistinct(id_col).alias("_n"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     w = (
@@ -323,7 +334,11 @@ def tfidf_cosine_pairs(
             ).alias("_w"),
         )
     )
-    norms = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nm"))
+    # w feeds the two pair sides AND the norms — pin it
+    w = w.localCheckpoint(eager=False)
+    norms = w.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nm")
+    ).localCheckpoint(eager=False)
     wa = w.select(F.col("_id").alias("id_a"), "tok", F.col("_w").alias("_wa"))
     wb = w.select(F.col("_id").alias("id_b"), "tok", F.col("_w").alias("_wb"))
     dots = (
