@@ -254,6 +254,7 @@ def sorted_neighborhood_pairs(
     bucket_max_rows: int = 100_000,
     max_deepen_rounds: int = 3,
     max_offset_broadcast: int = 1_000_000,
+    pin_rank: bool = True,
 ) -> DataFrame:
     """Sorted-neighborhood blocking — the classic ER candidate
     generator the alias/LSH families don't cover: order records by a
@@ -395,8 +396,11 @@ def sorted_neighborhood_pairs(
             .drop("_bkt", "_lr", "_off")
         )
         # the rank frame feeds BOTH sides of the neighbor equi-join —
-        # pin it so the scan+window chain isn't computed twice
-        ranked = ranked.localCheckpoint(eager=False)
+        # pin it so the scan+window chain isn't computed twice.
+        # pin_rank=False keeps the full lineage visible (the plan-shape
+        # test asserts the window is keyed by the value bucket).
+        if pin_rank:
+            ranked = ranked.localCheckpoint(eager=False)
     else:
         w_global = Window.partitionBy(*groups).orderBy(
             F.col("key_a").asc(), F.col("id_a").asc()

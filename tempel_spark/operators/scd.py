@@ -69,6 +69,10 @@ def asof_join(
     change.
     """
     payload = payload or [c for c in changes.columns if c not in (key, change_ts)]
+    # pin: the eager uniqueness probe below materializes the change
+    # frame once and the union-merge then reads the pinned RDD instead
+    # of re-deriving the whole changes chain a second time
+    changes = changes.localCheckpoint(eager=False)
     dup = (
         changes.groupBy(key, change_ts).count().filter(F.col("count") > 1).limit(1).count()
     )

@@ -510,10 +510,21 @@ def test_sorted_neighborhood_pairs(spark):
     # 'h' has a single record → no pairs; 'colour'/'color' paired
     # despite sharing no equality block key (the method's point)
     assert all(a != 5 and b != 5 for a, b in pairs)
+    # the default path pins the rank frame (one scan+window chain for
+    # both join sides) — the optimized plan must read it from a
+    # LogicalRDD, not recompute it per side
+    plan_pinned = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan_pinned, plan_pinned
     # parallel shape pinned: every ranking window is keyed by the
     # value-defined bucket column, never by the group columns alone
-    # (which would serialize each group into one task)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # (which would serialize each group into one task) — asserted on
+    # the unpinned variant where the full lineage is visible
+    out2 = sorted_neighborhood_pairs(
+        df, "name", "id", window=3, group_cols=["grp"], payload_cols=["txt"],
+        pin_rank=False,
+    )
+    assert {(r.id_a, r.id_b) for r in out2.collect()} == pairs
+    plan = out2._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(grp#" in plan and "_bkt#" in plan, plan
     import re
 
