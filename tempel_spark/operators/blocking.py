@@ -344,18 +344,30 @@ def sorted_neighborhood_pairs(
         # 3.3 s of fixed overhead on a 77k-row vocabulary at sf1.0).
         depth = bucket_prefix
         cnt = None
+        n_labels = 0
         for round_no in range(max_deepen_rounds + 1):
+            # LAZY checkpoint + one summary collect: checkpoint
+            # materialization, the deepening decision (max label
+            # count) and the offset-broadcast size guard (label
+            # count) all ride ONE driver job — the eager-checkpoint +
+            # isEmpty + limit().count() shape paid three serial jobs
+            # per round on the common no-deepening path (same batching
+            # as the CC signature aggregate, clustering.py).
             cnt = (
                 rp.groupBy(*groups, "_bkt")
                 .agg(F.count(F.lit(1)).alias("_n"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
+            stats = cnt.agg(
+                F.max("_n").alias("_mx"), F.count(F.lit(1)).alias("_k")
+            ).collect()[0]
+            n_labels = stats["_k"]
+            has_heavy = stats["_mx"] is not None and stats["_mx"] > bucket_max_rows
+            if round_no == max_deepen_rounds or not has_heavy:
+                break
             heavy = cnt.filter(F.col("_n") > bucket_max_rows).select(
                 *groups, "_bkt", F.lit(True).alias("_deepen")
             )
-            # reads the checkpointed label counts — no base recompute
-            if round_no == max_deepen_rounds or heavy.isEmpty():
-                break
             depth *= 2
             rp = (
                 rp.join(F.broadcast(heavy), [*groups, "_bkt"], "left")
@@ -387,8 +399,8 @@ def sorted_neighborhood_pairs(
         ).drop("_n")
         # broadcast is a driver/executor memory cliff when groups ×
         # buckets is huge — past the bound, fall back to a shuffled
-        # join. The size check reads the already-checkpointed counts.
-        if cnt.limit(max_offset_broadcast + 1).count() <= max_offset_broadcast:
+        # join. The size came back with the label-count summary above.
+        if n_labels <= max_offset_broadcast:
             off = F.broadcast(off)
         ranked = (
             rp.join(off, [*groups, "_bkt"])

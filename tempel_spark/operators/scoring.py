@@ -73,13 +73,51 @@ def score_pairs(
     else:
         na, nb = normalize_mention(text_a), normalize_mention(text_b)
     lev = levenshtein_ratio(na, nb)
-    jac = token_jaccard(na, nb)
     jw = jaro_winkler_udf(na, nb)
 
-    out = (
-        pairs.withColumn("ratio_edit_distance", lev)
-        .withColumn("jaccard", jac)
-        .withColumn("jaro_winkler", jw)
+    # The token-array features (jaccard, the subset test, the token
+    # counts) all derive from the same two splits, and the decision
+    # columns below re-reference the feature columns — CollapseProject
+    # would inline a fresh copy of each split/levenshtein tree into
+    # every consumer. Route the shared scalar features through ONE
+    # Generate (inline of a 1-element struct array): a Generate's
+    # outputs are attributes, not aliases, so consumers reference them
+    # without duplicating the trees — the same shape that fixed
+    # q_minhash_signature's 16-fold signature re-evaluation. The
+    # splits themselves are bound once via bind_once. All feature
+    # expressions are term-for-term those of token_jaccard /
+    # levenshtein_ratio — identical values, bit for bit.
+    from tempel_spark.operators.blocking import bind_once
+
+    def _feats(t):
+        ta, tb = t["ta"], t["tb"]
+
+        def _jac(d):
+            inter = F.size(F.array_intersect(d["da"], d["db"]))
+            union = F.size(F.array_union(d["da"], d["db"]))
+            return (inter / F.greatest(union, F.lit(1))).cast("double")
+
+        jac = bind_once(
+            F.struct(
+                F.array_distinct(ta).alias("da"), F.array_distinct(tb).alias("db")
+            ),
+            _jac,
+        )
+        subset = (F.size(F.array_except(ta, tb)) == 0) | (
+            F.size(F.array_except(tb, ta)) == 0
+        )
+        return F.struct(
+            lev.alias("ratio_edit_distance"),
+            jac.alias("jaccard"),
+            subset.alias("_subset"),
+            (F.size(ta) != F.size(tb)).alias("_diffcount"),
+        )
+
+    feats = bind_once(
+        F.struct(F.split(na, " ").alias("ta"), F.split(nb, " ").alias("tb")), _feats
+    )
+    out = pairs.select("*", F.inline(F.array(feats))).withColumn(
+        "jaro_winkler", jw
     )
     string_score = (
         0.45 * F.col("jaro_winkler")
@@ -105,8 +143,7 @@ def score_pairs(
     else:
         score = string_score
 
-    ta, tb = F.split(na, " "), F.split(nb, " ")
-    subset = (F.size(F.array_except(ta, tb)) == 0) | (F.size(F.array_except(tb, ta)) == 0)
+    subset = F.col("_subset")
 
     # must-link is the reference's ratio rule ALONE
     # (ratio_edit_distance < 0.2, s03_dataset_creator.json:44). Two
@@ -134,12 +171,13 @@ def score_pairs(
     # EQUAL-count subsets (word swaps "granite ember"↔"ember
     # granite", or duplicate-token degenerates) are NOT shortenings —
     # they stay on the plain score path.
-    is_partial = subset & ~must_link & (F.size(ta) != F.size(tb))
+    is_partial = subset & ~must_link & F.col("_diffcount")
     return (
         out.withColumn("score", score.cast("double"))
         .withColumn("must_link", must_link)
         .withColumn("is_partial", is_partial)
         .withColumn("is_match", F.col("must_link") | ((F.col("score") >= threshold) & ~is_partial))
+        .drop("_subset", "_diffcount")
     )
 
 

@@ -71,3 +71,36 @@ def test_reference_containment_used_where_it_belongs(spark):
     )
     out = {r.surface: r.subset for r in assign_subsets_leakage_safe(stats).collect()}
     assert out["raven willow"] == out["juniper raven willow"]
+
+
+def test_score_pairs_schema_and_single_eval_shape(spark):
+    """Round-6 optimization guard: the shared token-array features run
+    through ONE Generate (inline of a bound struct) so the decision
+    columns reference attributes instead of inlined copies of the
+    split trees — and the helper fields never leak into the output
+    schema."""
+    from tempel_spark.operators.scoring import score_pairs
+
+    df = spark.createDataFrame(
+        [("granite ember", "granite embers"), ("falcon", "falcon krypton")],
+        "norm_a string, norm_b string",
+    )
+    out = score_pairs(df, "norm_a", "norm_b", prenormalized=True)
+    assert out.columns == [
+        "norm_a", "norm_b",
+        "ratio_edit_distance", "jaccard", "jaro_winkler",
+        "score", "must_link", "is_partial", "is_match",
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one Generate carries the feature struct; the split trees
+    # appear once per side inside it (bound via bind_once), never in
+    # the downstream decision projections
+    assert plan.count("Generate") == 1
+    after_generate = plan.split("Generate", 1)[1]
+    assert after_generate.count("split(norm_a") == 1
+    assert after_generate.count("split(norm_b") == 1
+    rows = {(r["norm_a"], r["norm_b"]): r for r in out.collect()}
+    r1 = rows[("falcon", "falcon krypton")]
+    assert r1["is_partial"] and not r1["is_match"]
+    r2 = rows[("granite ember", "granite embers")]
+    assert r2["must_link"] and r2["is_match"]
