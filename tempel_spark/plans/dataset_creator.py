@@ -117,14 +117,21 @@ def entities_in_all_snapshots(stats: DataFrame, n_snapshots: int | None = None) 
     qualifying entity ids, broadcast — the survivor list is small)."""
     # stats is read up to three times (snapshot census, keep agg, join)
     stats = stats.localCheckpoint(eager=False)
-    n = n_snapshots or stats.select("snapshot_ts").distinct().count()
-    keep = (
-        stats.groupBy("entity_id")
-        .agg(F.countDistinct("snapshot_ts").alias("_n_cuts"))
-        .filter(F.col("_n_cuts") == n)
-        .select("entity_id")
+    per_entity = stats.groupBy("entity_id").agg(
+        F.countDistinct("snapshot_ts").alias("_n_cuts")
     )
-    return stats.join(F.broadcast(keep), "entity_id")
+    if n_snapshots:
+        keep = per_entity.filter(F.col("_n_cuts") == n_snapshots)
+    else:
+        # snapshot census as a LAZY 1-row broadcast instead of an
+        # eager distinct().count() at construction time: the census
+        # rides the query's own job rather than a separate
+        # driver-serial job per query build (same value either way)
+        census = stats.agg(F.countDistinct("snapshot_ts").alias("_tot"))
+        keep = per_entity.crossJoin(F.broadcast(census)).filter(
+            F.col("_n_cuts") == F.col("_tot")
+        )
+    return stats.join(F.broadcast(keep.select("entity_id")), "entity_id")
 
 
 def assign_subsets_leakage_safe(
@@ -166,27 +173,42 @@ def assign_subsets_leakage_safe(
         F.sum("nr_links").alias("_links")
     ).localCheckpoint(eager=False)
 
-    a = surf.select(F.col("entity_id"), F.col("surface").alias("s_a"))
-    b = surf.select(F.col("entity_id"), F.col("surface").alias("s_b"))
-    pairs = a.join(b, "entity_id").filter(F.col("s_a") < F.col("s_b"))
-    ratio = levenshtein_ratio(F.lower("s_a"), F.lower("s_b"))
-    link = ratio < F.lit(must_link_ratio)
-    if containment_links:
-        link = link | whole_word_contains(F.lower("s_a"), F.lower("s_b")) | whole_word_contains(
-            F.lower("s_b"), F.lower("s_a")
+    if must_link_ratio <= 0.0 and not containment_links:
+        # Provably empty edge set: levenshtein_ratio is nonnegative by
+        # construction (levenshtein / greatest(len, 1) ≥ 0, NULL rows
+        # are dropped by the filter), so `ratio < 0.0` never links and
+        # there are no containment links — every surface is its own
+        # singleton cluster, and a singleton's CC component id IS the
+        # node (min of a one-node set). Emit the identical clustering
+        # directly instead of running the per-entity surface self-join
+        # + levenshtein over every pair just to produce zero edges
+        # (the q_dataset_* queries pass ratio 0.0; measured ~1.3 s of
+        # wasted pair scoring per query at sf1.0).
+        clusters = surf.select(
+            "entity_id", "surface", F.col("surface").alias("cluster")
+        ).localCheckpoint(eager=False)
+    else:
+        a = surf.select(F.col("entity_id"), F.col("surface").alias("s_a"))
+        b = surf.select(F.col("entity_id"), F.col("surface").alias("s_b"))
+        pairs = a.join(b, "entity_id").filter(F.col("s_a") < F.col("s_b"))
+        ratio = levenshtein_ratio(F.lower("s_a"), F.lower("s_b"))
+        link = ratio < F.lit(must_link_ratio)
+        if containment_links:
+            link = link | whole_word_contains(F.lower("s_a"), F.lower("s_b")) | whole_word_contains(
+                F.lower("s_b"), F.lower("s_a")
+            )
+        edges = pairs.filter(link).select(
+            F.concat_ws(_SEP, "entity_id", "s_a").alias("id_a"),
+            F.concat_ws(_SEP, "entity_id", "s_b").alias("id_b"),
         )
-    edges = pairs.filter(link).select(
-        F.concat_ws(_SEP, "entity_id", "s_a").alias("id_a"),
-        F.concat_ws(_SEP, "entity_id", "s_b").alias("id_b"),
-    )
-    nodes = surf.select(F.concat_ws(_SEP, "entity_id", "surface").alias("node"))
-    cc = connected_components(edges, nodes=nodes, shuffle_partitions=8).components
+        nodes = surf.select(F.concat_ws(_SEP, "entity_id", "surface").alias("node"))
+        cc = connected_components(edges, nodes=nodes, shuffle_partitions=8).components
 
-    clusters = cc.select(
-        F.split_part("node", F.lit(_SEP), F.lit(1)).alias("entity_id"),
-        F.split_part("node", F.lit(_SEP), F.lit(2)).alias("surface"),
-        F.split_part("component", F.lit(_SEP), F.lit(2)).alias("cluster"),
-    ).localCheckpoint(eager=False)
+        clusters = cc.select(
+            F.split_part("node", F.lit(_SEP), F.lit(1)).alias("entity_id"),
+            F.split_part("node", F.lit(_SEP), F.lit(2)).alias("surface"),
+            F.split_part("component", F.lit(_SEP), F.lit(2)).alias("cluster"),
+        ).localCheckpoint(eager=False)
     # cluster weight = total links; big clusters assigned first
     # (rank 1 → subsets[0] = train, the reference's prefer_train)
     joined = surf.join(clusters, ["entity_id", "surface"])
